@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the wiser_spark engine's operators over the driver's
+``documents`` table (doc_id, text, lang, source, n_chars), mapping
+``text`` -> the engine's ``content`` column and using the provided dense
+``doc_id`` directly (it already mirrors the reference's sequential docID
+assignment). ``oracle_sql()`` returns DuckDB SQL generated from the same
+shared spec (wiser_spark/plans/oracle_sql.py).
 """
 
 from __future__ import annotations
@@ -12,27 +13,109 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wiser_spark.config import BM25Params
+from wiser_spark.operators.docstats import build_docstats, corpus_stats
+from wiser_spark.operators.postings import build_dictionary, build_postings
+from wiser_spark.operators.topk import bm25_topk
+from wiser_spark.plans import oracle_sql as osql
+
+PARAMS = BM25Params(k1=1.2, b=0.75)
+
+# query set over the documents vocabulary: high-df, low-df ('dup', df~5%),
+# conjunctive, phrase, and an absent term (AND semantics => empty result)
+BM25_QUERIES: dict[str, tuple[list[str], bool]] = {
+    "bm25_single_high": (["key"], False),
+    "bm25_single_low": (["dup"], False),
+    "bm25_and2": (["dup", "key"], False),
+    "bm25_and3": (["spark", "window", "sort"], False),
+    "bm25_absent": (["key", "zz_no_such_term_zz"], False),
+    "bm25_phrase2": (["table", "part"], True),
+    "bm25_phrase3": (["batch", "window", "spark"], True),
+}
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long"), F.col("text").alias("content")
+    )
+
+
+def _built(spark: SparkSession, sf_dir: str):
+    docs = _documents(spark, sf_dir)
+    postings = build_postings(docs)
+    docstats = build_docstats(docs)
+    return docs, postings, docstats
+
+
+def _q_postings(spark, sf_dir):
+    _, postings, _ = _built(spark, sf_dir)
+    return postings.select("term", "doc_id", "tf")
+
+
+def _q_term_dict(spark, sf_dir):
+    _, postings, _ = _built(spark, sf_dir)
+    return build_dictionary(postings)
+
+
+def _q_doc_stats(spark, sf_dir):
+    _, _, docstats = _built(spark, sf_dir)
+    return docstats.select(
+        "doc_id",
+        F.col("doclen").cast("int").alias("doclen"),
+        F.col("doclen_char").cast("int").alias("doclen_char"),
+        F.col("sha256").alias("content_sha256"),
+    )
+
+
+def _q_corpus_stats(spark, sf_dir):
+    _, _, docstats = _built(spark, sf_dir)
+    return docstats.agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.col("doclen").cast("double")), 6).alias("avgdl"),
+    )
+
+
+def _bm25_query(terms: list[str], is_phrase: bool):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _, postings, docstats = _built(spark, sf_dir)
+        postings = postings.cache()
+        dictionary = build_dictionary(postings)
+        stats = corpus_stats(docstats)
+        out = bm25_topk(
+            postings, docstats, dictionary, stats, terms,
+            k=10, params=PARAMS, is_phrase=is_phrase,
+        )
+        return out.select("rank", "doc_id", F.round("score", 6).alias("score"))
+
+    return run
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: conjunctive BM25 top-10 on sf0.001."""
+    return _bm25_query(["dup", "key"], False)(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable] = {
+        "postings": _q_postings,
+        "term_dict": _q_term_dict,
+        "doc_stats": _q_doc_stats,
+        "corpus_stats": _q_corpus_stats,
+    }
+    for name, (terms, is_phrase) in BM25_QUERIES.items():
+        out[name] = _bm25_query(terms, is_phrase)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = {
+        "postings": osql.postings_sql(),
+        "term_dict": osql.term_dict_sql(),
+        "doc_stats": osql.doc_stats_sql(),
+        "corpus_stats": osql.corpus_stats_sql(),
+    }
+    for name, (terms, is_phrase) in BM25_QUERIES.items():
+        out[name] = osql.bm25_topk_sql(terms, k=10, params=PARAMS, is_phrase=is_phrase)
+    return out
