@@ -92,6 +92,28 @@ def _bm25_query(terms: list[str], is_phrase: bool):
     return run
 
 
+def _q_topk_from_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same conjunctive query as bm25_and2, but answered from the binary
+    segment format (build index -> write -> reload -> decode -> score),
+    proving the wiser posting-format round trip inside the gate."""
+    import hashlib
+    import tempfile
+
+    from wiser_spark.config import IndexConfig
+    from wiser_spark.operators.segments import SegmentIndex, write_index
+
+    _, postings, docstats = _built(spark, sf_dir)
+    dictionary = build_dictionary(postings)
+    stats = corpus_stats(docstats)
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    index_dir = f"{tempfile.gettempdir()}/wiser_entry_idx_{tag}"
+    write_index(postings, docstats, dictionary, stats, index_dir,
+                IndexConfig(bm25=PARAMS, n_shards=4))
+    idx = SegmentIndex(spark, index_dir)
+    out = idx.search(["dup", "key"], k=10, is_phrase=False)
+    return out.select("rank", "doc_id", F.round("score", 6).alias("score"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: conjunctive BM25 top-10 on sf0.001."""
     return _bm25_query(["dup", "key"], False)(spark, "/root/testdata/sf0.001")
@@ -103,6 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_dict": _q_term_dict,
         "doc_stats": _q_doc_stats,
         "corpus_stats": _q_corpus_stats,
+        "topk_from_segments": _q_topk_from_segments,
     }
     for name, (terms, is_phrase) in BM25_QUERIES.items():
         out[name] = _bm25_query(terms, is_phrase)
@@ -115,6 +138,11 @@ def oracle_sql() -> dict[str, str]:
         "term_dict": osql.term_dict_sql(),
         "doc_stats": osql.doc_stats_sql(),
         "corpus_stats": osql.corpus_stats_sql(),
+        # the segment path answers the same query as bm25_and2 — one SQL
+        # oracle checks both the relational plan and the binary format
+        "topk_from_segments": osql.bm25_topk_sql(
+            ["dup", "key"], k=10, params=PARAMS, is_phrase=False
+        ),
     }
     for name, (terms, is_phrase) in BM25_QUERIES.items():
         out[name] = osql.bm25_topk_sql(terms, k=10, params=PARAMS, is_phrase=is_phrase)

@@ -1,0 +1,114 @@
+"""Benchmark harness — the driver runs this per round.
+
+Measures, on $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) with
+local[$SPARK_GRAFT_CPUS]:
+  * index build (tokenize -> postings -> docstats -> dictionary ->
+    segment write) throughput in docs/sec
+  * per-query latency of the headline BM25 query set on BOTH paths
+    (relational DataFrame plan; segment-decode path)
+
+Prints exactly ONE JSON line to stdout:
+  {"metric": "...", "value": <total suite seconds>, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": ..., "docs_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("wiser-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from __spark_entry__ import BM25_QUERIES, PARAMS
+    from wiser_spark.config import IndexConfig
+    from wiser_spark.operators.docstats import build_docstats, corpus_stats
+    from wiser_spark.operators.postings import build_dictionary, build_postings
+    from wiser_spark.operators.segments import SegmentIndex, write_index
+    from wiser_spark.operators.topk import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long"), F.col("text").alias("content")
+    )
+    n_docs = docs.count()
+
+    timings: dict[str, float] = {}
+    index_dir = tempfile.mkdtemp(prefix="wiser_bench_idx_")
+    try:
+        t0 = time.perf_counter()
+        postings = build_postings(docs)
+        docstats = build_docstats(docs)
+        dictionary = build_dictionary(postings)
+        stats = corpus_stats(docstats)
+        write_index(
+            postings, docstats, dictionary, stats, index_dir,
+            IndexConfig(bm25=PARAMS, n_shards=max(cpus, 4)),
+        )
+        build_sec = time.perf_counter() - t0
+        timings["index_build"] = round(build_sec, 3)
+
+        # relational-path queries (postings cached, like a warm index)
+        postings_c = postings.cache()
+        docstats_c = docstats.cache()
+        dictionary_c = dictionary.cache()
+        postings_c.count()
+        docstats_c.count()
+        dictionary_c.count()
+        for name, (terms, is_phrase) in BM25_QUERIES.items():
+            t0 = time.perf_counter()
+            bm25_topk(
+                postings_c, docstats_c, dictionary_c, stats, terms,
+                k=10, params=PARAMS, is_phrase=is_phrase,
+            ).collect()
+            timings[name] = round(time.perf_counter() - t0, 3)
+
+        # segment-path queries (cold: read segments from parquet)
+        idx = SegmentIndex(spark, index_dir)
+        idx.segments = idx.segments.cache()
+        idx.segments.count()
+        for name, (terms, is_phrase) in BM25_QUERIES.items():
+            t0 = time.perf_counter()
+            idx.search(terms, k=10, is_phrase=is_phrase).collect()
+            timings[f"seg_{name}"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "index_build_plus_bm25_query_suite",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / timings["index_build"], 1),
+        "cpus": cpus,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()
