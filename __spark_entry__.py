@@ -19,6 +19,7 @@ from wiser_spark.config import BM25Params
 from wiser_spark.operators.docstats import build_docstats, corpus_stats
 from wiser_spark.operators.postings import build_dictionary, build_postings
 from wiser_spark.operators.topk import bm25_topk
+from wiser_spark.plans import curation_sql as csql
 from wiser_spark.plans import oracle_sql as osql
 
 PARAMS = BM25Params(k1=1.2, b=0.75)
@@ -114,6 +115,82 @@ def _q_topk_from_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("rank", "doc_id", F.round("score", 6).alias("score"))
 
 
+# ---------------------------------------------------- curation operators
+def _q_dedup_exact(spark, sf_dir):
+    from wiser_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_documents(spark, sf_dir))
+
+
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    from wiser_spark.operators.dedup import ngram_jaccard_dedup
+
+    out = ngram_jaccard_dedup(_documents(spark, sf_dir), k=3, threshold=0.5)
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_dedup_minhash_lsh(spark, sf_dir):
+    from wiser_spark.operators.dedup import minhash_lsh_dedup
+
+    out = minhash_lsh_dedup(
+        _documents(spark, sf_dir), num_hashes=32, bands=8, k=3, threshold=0.5
+    )
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    from wiser_spark.operators.dedup import simhash
+
+    return simhash(_documents(spark, sf_dir))
+
+
+def _q_text_token_counts(spark, sf_dir):
+    from wiser_spark.operators.textstats import token_counts
+
+    return token_counts(_documents(spark, sf_dir))
+
+
+def _q_text_language_id(spark, sf_dir):
+    from wiser_spark.operators.textstats import language_id
+
+    return language_id(_documents(spark, sf_dir))
+
+
+def _q_text_quality(spark, sf_dir):
+    from wiser_spark.operators.textstats import quality_score
+
+    return quality_score(_documents(spark, sf_dir))
+
+
+def _q_text_fingerprint(spark, sf_dir):
+    from wiser_spark.operators.textstats import fingerprint_docs
+
+    return fingerprint_docs(_documents(spark, sf_dir), k=5)
+
+
+def _embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _query_vec(spark, sf_dir, vec_id=0):
+    row = _embeddings(spark, sf_dir).filter(F.col("vec_id") == vec_id).first()
+    return [float(v) for v in row["embedding"]]
+
+
+def _q_ann_cosine_topk(spark, sf_dir):
+    from wiser_spark.operators.similarity import brute_force_topk
+
+    return brute_force_topk(_embeddings(spark, sf_dir), _query_vec(spark, sf_dir), k=10)
+
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    from wiser_spark.operators.similarity import lsh_topk
+
+    return lsh_topk(
+        _embeddings(spark, sf_dir), _query_vec(spark, sf_dir), k=10, n_planes=6
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: conjunctive BM25 top-10 on sf0.001."""
     return _bm25_query(["dup", "key"], False)(spark, "/root/testdata/sf0.001")
@@ -126,6 +203,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": _q_doc_stats,
         "corpus_stats": _q_corpus_stats,
         "topk_from_segments": _q_topk_from_segments,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "text_token_counts": _q_text_token_counts,
+        "text_language_id": _q_text_language_id,
+        "text_quality": _q_text_quality,
+        "text_fingerprint": _q_text_fingerprint,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
     }
     for name, (terms, is_phrase) in BM25_QUERIES.items():
         out[name] = _bm25_query(terms, is_phrase)
@@ -143,6 +230,18 @@ def oracle_sql() -> dict[str, str]:
         "topk_from_segments": osql.bm25_topk_sql(
             ["dup", "key"], k=10, params=PARAMS, is_phrase=False
         ),
+        "dedup_exact": csql.exact_dedup_sql(),
+        "dedup_ngram_jaccard": csql.ngram_jaccard_sql(k=3, threshold=0.5),
+        "dedup_minhash_lsh": csql.minhash_lsh_sql(
+            num_hashes=32, bands=8, k=3, threshold=0.5
+        ),
+        "dedup_simhash": csql.simhash_sql(),
+        "text_token_counts": csql.token_counts_sql(),
+        "text_language_id": csql.language_id_sql(),
+        "text_quality": csql.quality_score_sql(),
+        "text_fingerprint": csql.fingerprint_sql(k=5),
+        "ann_cosine_topk": csql.cosine_topk_sql(query_vec_id=0, k=10),
+        "ann_lsh_topk": csql.lsh_topk_sql(query_vec_id=0, k=10, n_planes=6),
     }
     for name, (terms, is_phrase) in BM25_QUERIES.items():
         out[name] = osql.bm25_topk_sql(terms, k=10, params=PARAMS, is_phrase=is_phrase)

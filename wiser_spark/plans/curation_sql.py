@@ -1,0 +1,255 @@
+"""DuckDB oracles for the corpus-curation operators (dedup, similarity,
+textstats). Hash-parity with the Spark side comes from the shared
+md5-derived integer hash: Spark ``conv(substr(md5(x),1,15),16,10)`` ==
+DuckDB ``('0x' || substr(md5(x),1,15))::BIGINT``."""
+
+from __future__ import annotations
+
+from wiser_spark.config import TOKEN_SPLIT_REGEX
+from wiser_spark.operators.dedup import (
+    HASH_MULT_A,
+    HASH_MULT_B,
+    MERSENNE_P,
+    SIMHASH_BITS,
+)
+from wiser_spark.operators.textstats import (
+    CJK_REGEX,
+    LANG_MARKERS,
+    STOPWORDS_EN,
+)
+
+_TOKS = f"""
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_REGEX}'),
+                     x -> x <> '') AS toks
+  FROM documents
+)
+"""
+
+
+def _md5l(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+def _shingles(k: int = 3) -> str:
+    gram = " || ' ' || ".join(f"toks[i+{j}]" for j in range(k))
+    return f"""
+sh AS (
+  SELECT DISTINCT doc_id, {gram} AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(toks) - {k - 2}, 1))) AS t(i)
+)
+"""
+
+
+_JACCARD = """
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b,
+         n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+"""
+
+
+def exact_dedup_sql() -> str:
+    return (
+        "SELECT sha256(text) AS sha256, min(doc_id) AS keeper_doc_id, "
+        "count(*) AS n_copies FROM documents GROUP BY sha256(text)"
+    )
+
+
+def ngram_jaccard_sql(k: int = 3, threshold: float = 0.5) -> str:
+    return f"""
+WITH {_TOKS}, {_shingles(k)}, {_JACCARD}
+SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+FROM jac WHERE jaccard >= {threshold!r}
+"""
+
+
+def minhash_lsh_sql(
+    num_hashes: int = 32, bands: int = 8, k: int = 3, threshold: float = 0.5
+) -> str:
+    rows_per_band = num_hashes // bands
+    return f"""
+WITH {_TOKS}, {_shingles(k)},
+hx AS (SELECT DISTINCT doc_id, {_md5l("shingle")} % {MERSENNE_P} AS x FROM sh),
+mh AS (
+  SELECT doc_id, i,
+         min(((((i + 1) * {HASH_MULT_A}) % {MERSENNE_P}) * x
+              + (((i + 1) * {HASH_MULT_B}) % {MERSENNE_P})) % {MERSENNE_P}) AS minhash
+  FROM hx, UNNEST(range(0, {num_hashes})) AS t(i)
+  GROUP BY doc_id, i
+),
+banded AS (
+  SELECT doc_id, (i // {rows_per_band})::INT AS band,
+         string_agg(i || ':' || minhash, '_' ORDER BY i || ':' || minhash) AS key
+  FROM mh GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM banded l JOIN banded r USING (band, key)
+  WHERE l.doc_id < r.doc_id
+),
+{_JACCARD.strip().rstrip()}
+SELECT j.doc_a, j.doc_b, round(j.jaccard, 6) AS jaccard
+FROM jac j JOIN cand USING (doc_a, doc_b)
+WHERE j.jaccard >= {threshold!r}
+"""
+
+
+def simhash_sql() -> str:
+    mask = (1 << SIMHASH_BITS) - 1
+    return f"""
+WITH {_TOKS},
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM toks) GROUP BY 1, 2
+),
+hx AS (SELECT doc_id, tf, {_md5l("term")} & {mask} AS h FROM tf),
+bits AS (
+  SELECT doc_id, i AS bit,
+         sum(CASE WHEN (h >> i) & 1 = 1 THEN tf ELSE -tf END) AS v
+  FROM hx, UNNEST(range(0, {SIMHASH_BITS})) AS t(i)
+  GROUP BY doc_id, i
+)
+SELECT doc_id,
+       sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+def token_counts_sql() -> str:
+    return f"""
+WITH {_TOKS}
+SELECT d.doc_id, length(d.text)::INT AS n_chars,
+       len(list_filter(regexp_split_to_array(d.text, '\\s+'), x -> x <> ''))::INT
+         AS n_ws_tokens,
+       len(t.toks)::INT AS n_code_tokens,
+       len(list_distinct(t.toks))::INT AS n_distinct_tokens
+FROM documents d JOIN toks t USING (doc_id)
+"""
+
+
+def language_id_sql() -> str:
+    hits = ", ".join(
+        f"len(regexp_extract_all(lower(text), '{rx}')) AS hits_{lang}"
+        for lang, rx in LANG_MARKERS.items()
+    )
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in LANG_MARKERS) + ")"
+    pred = "CASE WHEN hits_cjk > 0 THEN 'zh' "
+    for lang in LANG_MARKERS:
+        pred += f"WHEN {best} > 0 AND hits_{lang} = {best} THEN '{lang}' "
+    pred += "ELSE 'und' END"
+    total = " + ".join(f"hits_{lang}" for lang in LANG_MARKERS) + " + hits_cjk"
+    return f"""
+WITH h AS (
+  SELECT doc_id, len(regexp_extract_all(lower(text), '{CJK_REGEX}')) AS hits_cjk,
+         {hits}
+  FROM documents
+)
+SELECT doc_id, {pred} AS lang_pred, ({total})::INT AS lang_hits FROM h
+"""
+
+
+def quality_score_sql() -> str:
+    return f"""
+WITH {_TOKS},
+base AS (
+  SELECT d.doc_id,
+         length(d.text)::DOUBLE AS n_chars,
+         len(t.toks)::DOUBLE AS n_toks,
+         (length(d.text) - length(regexp_replace(d.text, '[^\\w\\s]', '', 'g')))::DOUBLE
+           AS n_punct,
+         len(list_filter(regexp_split_to_array(lower(d.text), '{TOKEN_SPLIT_REGEX}'),
+             x -> regexp_full_match(x, '({STOPWORDS_EN})')))::DOUBLE AS n_stop,
+         CASE WHEN len(t.toks) > 0
+              THEN list_sum(list_transform(t.toks, s -> length(s)))::DOUBLE / len(t.toks)
+              ELSE 0.0 END AS mean_tok
+  FROM documents d JOIN toks t USING (doc_id)
+),
+scored AS (
+  SELECT doc_id,
+         least(n_chars / 500.0, 1.0) AS len_score,
+         CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END AS stop_ratio,
+         mean_tok
+  FROM base
+)
+SELECT doc_id,
+       round(len_score, 6) AS len_score,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(mean_tok, 6) AS mean_token_len,
+       round(0.4 * len_score
+             + 0.2 * (1.0 - least(punct_ratio * 4.0, 1.0))
+             + 0.2 * least(stop_ratio * 5.0, 1.0)
+             + 0.2 * (CASE WHEN mean_tok >= 2.0 AND mean_tok <= 12.0
+                           THEN 1.0 ELSE 0.5 END), 6) AS quality
+FROM scored
+"""
+
+
+def fingerprint_sql(k: int = 5) -> str:
+    return f"""
+WITH {_TOKS},
+grams AS (
+  SELECT doc_id, array_to_string(toks[i:i+{k - 1}], ' ') AS gram
+  FROM toks, UNNEST(range(1, greatest(len(toks) - {k - 2}, 2))) AS t(i)
+)
+SELECT doc_id, min({_md5l("gram")}) AS fingerprint FROM grams GROUP BY doc_id
+"""
+
+
+# ------------------------------------------------------------- embeddings
+_COS = (
+    "list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) / "
+    "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])))"
+)
+
+
+def cosine_topk_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id}),
+scored AS (SELECT e.vec_id, {_COS} AS cosine FROM embeddings e, q)
+SELECT row_number() OVER (ORDER BY cosine DESC, vec_id)::INT AS rank,
+       vec_id, round(cosine, 6) AS cosine
+FROM scored ORDER BY cosine DESC, vec_id LIMIT {k}
+"""
+
+
+def lsh_topk_sql(
+    query_vec_id: int = 0, k: int = 10, n_planes: int = 6, dim: int = 64
+) -> str:
+    """Hyperplanes are injected as repr'd literals — byte-identical
+    doubles to similarity.hyperplane()'s output on the Spark side."""
+    from wiser_spark.operators.similarity import hyperplane
+
+    planes = [hyperplane(p, dim) for p in range(n_planes)]
+    bucket_terms = " + ".join(
+        "(CASE WHEN list_dot_product(e.embedding::DOUBLE[], ["
+        + ", ".join(repr(v) for v in plane)
+        + f"]) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    )
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id}),
+bucketed AS (SELECT e.vec_id, e.embedding, {bucket_terms} AS bucket
+             FROM embeddings e),
+qb AS (SELECT b.bucket AS qb FROM bucketed b WHERE b.vec_id = {query_vec_id}),
+scored AS (
+  SELECT e.vec_id, {_COS} AS cosine
+  FROM bucketed e, q, qb WHERE e.bucket = qb.qb
+)
+SELECT row_number() OVER (ORDER BY cosine DESC, vec_id)::INT AS rank,
+       vec_id, round(cosine, 6) AS cosine
+FROM scored ORDER BY cosine DESC, vec_id LIMIT {k}
+"""
