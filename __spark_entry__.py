@@ -191,6 +191,48 @@ def _q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def _q_topk_mapside(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same query as bm25_and2 via the v2 ZERO-SHUFFLE map-side index
+    (sentinel doc-length rows; the 100 TB build path)."""
+    import hashlib
+    import tempfile
+
+    from wiser_spark.config import IndexConfig
+    from wiser_spark.operators.mapside import write_index_mapside
+    from wiser_spark.operators.segments import SegmentIndex
+
+    docs = _documents(spark, sf_dir)
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    index_dir = f"{tempfile.gettempdir()}/wiser_entry_idx_v2_{tag}"
+    write_index_mapside(docs, index_dir, IndexConfig(bm25=PARAMS, n_shards=4))
+    idx = SegmentIndex(spark, index_dir)
+    out = idx.search(["dup", "key"], k=10, is_phrase=False)
+    return out.select("rank", "doc_id", F.round("score", 6).alias("score"))
+
+
+# a small mixed-shape query log answered in ONE batched job
+BATCH_LOG: list[tuple[int, list[str], bool]] = [
+    (0, ["key"], False),
+    (1, ["dup", "key"], False),
+    (2, ["spark", "window", "sort"], False),
+    (3, ["table", "part"], True),
+]
+
+
+def _q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wiser_spark.operators.topk import bm25_topk_batch
+
+    _, postings, docstats = _built(spark, sf_dir)
+    postings = postings.cache()
+    out = bm25_topk_batch(
+        postings, docstats, build_dictionary(postings), corpus_stats(docstats),
+        BATCH_LOG, k=10, params=PARAMS,
+    )
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: conjunctive BM25 top-10 on sf0.001."""
     return _bm25_query(["dup", "key"], False)(spark, "/root/testdata/sf0.001")
@@ -213,6 +255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "bm25_batch_log": _q_bm25_batch,
+        "topk_from_segments_mapside": _q_topk_mapside,
     }
     for name, (terms, is_phrase) in BM25_QUERIES.items():
         out[name] = _bm25_query(terms, is_phrase)
@@ -242,6 +286,15 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": csql.fingerprint_sql(k=5),
         "ann_cosine_topk": csql.cosine_topk_sql(query_vec_id=0, k=10),
         "ann_lsh_topk": csql.lsh_topk_sql(query_vec_id=0, k=10, n_planes=6),
+        "topk_from_segments_mapside": osql.bm25_topk_sql(
+            ["dup", "key"], k=10, params=PARAMS, is_phrase=False
+        ),
+        "bm25_batch_log": " UNION ALL ".join(
+            f"SELECT {qid} AS query_id, * FROM ("
+            + osql.bm25_topk_sql(terms, k=10, params=PARAMS, is_phrase=ph)
+            + ")"
+            for qid, terms, ph in BATCH_LOG
+        ),
     }
     for name, (terms, is_phrase) in BM25_QUERIES.items():
         out[name] = osql.bm25_topk_sql(terms, k=10, params=PARAMS, is_phrase=is_phrase)

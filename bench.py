@@ -41,24 +41,29 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    from pyspark.storagelevel import StorageLevel
+
     from __spark_entry__ import BM25_QUERIES, PARAMS
     from wiser_spark.config import IndexConfig
     from wiser_spark.operators.docstats import build_docstats, corpus_stats
-    from wiser_spark.operators.postings import build_dictionary, build_postings
+    from wiser_spark.operators.postings import (
+        build_dictionary,
+        build_postings_arrow,
+    )
     from wiser_spark.operators.segments import SegmentIndex, write_index
     from wiser_spark.operators.topk import bm25_topk
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.col("doc_id").cast("long"), F.col("text").alias("content")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     n_docs = docs.count()
 
     timings: dict[str, float] = {}
     index_dir = tempfile.mkdtemp(prefix="wiser_bench_idx_")
     try:
         t0 = time.perf_counter()
-        postings = build_postings(docs)
-        docstats = build_docstats(docs)
+        postings = build_postings_arrow(docs).persist(StorageLevel.MEMORY_AND_DISK)
+        docstats = build_docstats(docs).persist(StorageLevel.MEMORY_AND_DISK)
         dictionary = build_dictionary(postings)
         stats = corpus_stats(docstats)
         write_index(
@@ -83,6 +88,24 @@ def main() -> None:
             ).collect()
             timings[name] = round(time.perf_counter() - t0, 3)
 
+        # batched query log: all queries in ONE job (the QPS path)
+        from wiser_spark.operators.topk import bm25_topk_batch
+
+        batch = [
+            (i * 10 + j, terms, is_phrase)
+            for j in range(3)
+            for i, (terms, is_phrase) in enumerate(BM25_QUERIES.values())
+        ]
+        t0 = time.perf_counter()
+        n_res = bm25_topk_batch(
+            postings_c, docstats_c, dictionary_c, stats, batch,
+            k=10, params=PARAMS,
+        ).count()
+        dt = time.perf_counter() - t0
+        timings["batch_21_queries"] = round(dt, 3)
+        batch_qps = round(len(batch) / dt, 2)
+        _ = n_res
+
         # segment-path queries (cold: read segments from parquet)
         idx = SegmentIndex(spark, index_dir)
         idx.segments = idx.segments.cache()
@@ -103,6 +126,7 @@ def main() -> None:
         "sf": sf,
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / timings["index_build"], 1),
+        "batch_qps": batch_qps,
         "cpus": cpus,
     }
     print(json.dumps(result))

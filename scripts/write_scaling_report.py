@@ -1,0 +1,55 @@
+"""Aggregate BENCH/scaling_{N,4N}.json -> BENCH/BASELINE.md."""
+
+import json
+import sys
+from datetime import date
+
+n_lo = int(sys.argv[1]) if len(sys.argv) > 2 else 4
+n_hi = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+r8 = json.load(open(f"BENCH/scaling_{n_lo}.json"))
+r32 = json.load(open(f"BENCH/scaling_{n_hi}.json"))
+
+speedup = r8["build_sec"] / r32["build_sec"]
+efficiency = speedup / (r32["cpus"] / r8["cpus"])
+
+md = f"""# BENCH/BASELINE — measured performance of wiser_spark
+
+Generated {date.today()} by `scripts/run_scaling.sh` (spark-submit
+--py-files, identical input at both parallelism levels; this sandbox has
+no multi-node cluster, so the north rule's N vs 4N executors criterion is
+evidenced as local[{r8['cpus']}] vs local[{r32['cpus']}] on one 32-core host).
+
+## Index build (documents sf0.1 x{r8['n_docs'] // 5000} = {r8['n_docs']:,} docs,
+tokenize -> postings -> docstats -> dictionary -> {128}-shard segment write)
+
+| treatment | build wall (s) | docs/sec |
+|---|---|---|
+| local[{r8['cpus']}]  | {r8['build_sec']} | {r8['docs_per_sec']:,} |
+| local[{r32['cpus']}] | {r32['build_sec']} | {r32['docs_per_sec']:,} |
+
+**Speedup {r8['cpus']} -> {r32['cpus']} cores: {speedup:.2f}x of 4x ideal;
+scaling efficiency = {efficiency:.2f}** (north-rule gate: >= 0.8).
+
+## Query latency (segment path, warm cache, 7-query BM25 suite x3)
+
+| treatment | p50 (s) | p99 (s) |
+|---|---|---|
+| local[{r8['cpus']}]  | {r8['query_p50']} | {r8['query_p99']} |
+| local[{r32['cpus']}] | {r32['query_p50']} | {r32['query_p99']} |
+
+Per-query warm latencies (local[{r32['cpus']}]):
+{json.dumps(r32['queries_warm'], indent=2)}
+
+## Reference comparison
+
+The reference (junhe/wiser) publishes only relative numbers vs
+Elasticsearch 5.6.3 (BASELINE.md): up to 2.7x throughput, 16x lower
+latency on a 20M-doc Wikipedia corpus with a single-threaded two-pass
+index build. Its build is single-process by design; this engine's build
+is the distributed replacement — the numbers above are the
+corresponding measured throughputs in this sandbox.
+"""
+
+with open("BENCH/BASELINE.md", "w") as f:
+    f.write(md)
+print(md)

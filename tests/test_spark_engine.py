@@ -86,6 +86,23 @@ def test_docstats_match_oracle(built, oracle):
     assert stats.avgdl == pytest.approx(oracle.avgdl, rel=1e-12)
 
 
+def test_arrow_postings_equal_declarative(spark, built):
+    """The shuffle-free mapInPandas posting builder must emit exactly the
+    declarative plan's rows (it's the build-path fast lane)."""
+    from wiser_spark.operators.postings import build_postings_arrow
+
+    docs = built[0]
+    a = {
+        (r["term"], r["doc_id"]): (r["tf"], tuple(r["positions"]))
+        for r in build_postings_arrow(docs).collect()
+    }
+    b = {
+        (r["term"], r["doc_id"]): (r["tf"], tuple(r["positions"]))
+        for r in built[1].collect()
+    }
+    assert a == b
+
+
 def test_dictionary_matches_oracle(built, oracle):
     dictionary = built[3]
     got = {r["term"]: r["df"] for r in dictionary.collect()}

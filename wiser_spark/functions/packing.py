@@ -70,22 +70,48 @@ def encode_column(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     the remainder (tail present only if remainder > 0). ``frame_offsets``
     holds the byte offset of every frame/tail start — this is what skip
     entries point at, enabling partial decode from any 128-aligned bag.
+
+    Vectorized: frames are packed in batches grouped by bit width (the
+    per-frame loop of the naive form dominated segment-build CPU). Byte
+    output is identical to packing each frame with pack_frame().
     """
     v = np.asarray(values, dtype=np.uint64)
     n_full = v.size // PACK_SIZE
     parts: list[bytes] = []
-    offsets = []
-    pos = 0
-    for i in range(n_full):
-        frame = pack_frame(v[i * PACK_SIZE : (i + 1) * PACK_SIZE])
-        offsets.append(pos)
-        parts.append(frame)
-        pos += len(frame)
+    offsets = np.zeros(0, dtype=np.int64)
+    blob_head = b""
+    if n_full:
+        frames = v[: n_full * PACK_SIZE].reshape(n_full, PACK_SIZE)
+        maxes = frames.max(axis=1)
+        widths = np.maximum(
+            np.frexp(maxes.astype(np.float64))[1].astype(np.int64), 1
+        )
+        data_bytes = (PACK_SIZE * widths + 7) // 8
+        frame_sizes = 2 + data_bytes
+        frame_offs = np.concatenate(([0], np.cumsum(frame_sizes)[:-1]))
+        out = np.zeros(int(frame_sizes.sum()), dtype=np.uint8)
+        out[frame_offs] = PACKED_FRAME_MAGIC
+        out[frame_offs + 1] = widths
+        for w in np.unique(widths):
+            idx = np.nonzero(widths == w)[0]
+            sub = frames[idx]
+            shifts = np.arange(w, dtype=np.uint64)
+            bits = ((sub[:, :, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+            packed = np.packbits(
+                bits.reshape(len(idx), PACK_SIZE * int(w)), axis=1,
+                bitorder="little",
+            )
+            scatter = frame_offs[idx][:, None] + 2 + np.arange(packed.shape[1])
+            out[scatter] = packed
+        blob_head = out.tobytes()
+        offsets = frame_offs
+    pos = len(blob_head)
+    parts.append(blob_head)
     rem = v[n_full * PACK_SIZE :]
     if rem.size:
         payload = varint_encode(rem)
         tail = bytes([VINTS_MAGIC]) + varint_encode([len(payload)]) + payload
-        offsets.append(pos)
+        offsets = np.concatenate([offsets, [pos]])
         parts.append(tail)
     return b"".join(parts), np.asarray(offsets, dtype=np.int64)
 

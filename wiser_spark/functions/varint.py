@@ -38,6 +38,15 @@ def varint_encode(values) -> bytes:
     return out.tobytes()
 
 
+def varint_lengths(values) -> np.ndarray:
+    """Encoded byte length of each value (vectorized)."""
+    v = np.asarray(values, dtype=np.uint64)
+    n_bytes = np.ones(v.shape, dtype=np.int64)
+    for k in range(1, _MAX_BYTES):
+        n_bytes += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    return n_bytes
+
+
 def varint_decode(buf: bytes | np.ndarray, offset: int = 0, count: int | None = None):
     """Decode a varint stream -> (uint64 array, bytes consumed).
 

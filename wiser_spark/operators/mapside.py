@@ -1,0 +1,207 @@
+"""Map-side (zero-shuffle) index build — the scale path.
+
+The groupBy-based build (segments.build_segments) shuffles every posting
+row to its (shard) reducer: ~10^9 rows per TB. But a document's postings
+are a pure function of the document, and intersection only needs all
+terms of a doc to land in the SAME shard — so let the shard BE the input
+partition: each task tokenizes its documents, groups postings per term
+locally, and emits fully-encoded segment rows. NO posting ever crosses
+the wire (the Lucene/Elasticsearch document-partitioned segment model).
+
+Doc lengths ride along as one SENTINEL row per shard (term = "" — the
+tokenizer can never emit an empty term): docIDs in docids_blob, lossy
+Char4 bytes in tfs_blob, true lengths varint'd in pos_blob (for global
+avgdl). Queries then need ONLY the segment table; global df comes from
+summing df_shard per term (a vocabulary-sized aggregate, the one tiny
+shuffle of the whole build).
+
+Equivalent to the reference's AddDocument loop (qq_mem_engine.h:298-305)
+run per-partition instead of per-process; differential tests pin the
+results to the shuffle-based path and the oracle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wiser_spark.config import IndexConfig
+from wiser_spark.functions.tokenize import tokenize_series
+from wiser_spark.operators.segments import (
+    DOCLEN_TERM,
+    SEGMENT_SCHEMA,
+    _encode_term_flat,
+    decode_doclen_sentinel,
+    doclen_sentinel_row,
+)
+
+
+def build_segments_mapside(
+    docs: DataFrame,
+    n_shards: int | None = None,
+    content_col: str = "content",
+    reuse_partitions: bool = False,
+) -> DataFrame:
+    """docs (doc_id, content) -> segment rows + one sentinel per shard.
+
+    With ``reuse_partitions=True`` the INPUT partitioning is the
+    sharding (shard correctness only needs each doc's postings in one
+    shard — any doc-disjoint partitioning qualifies; contiguous ranges
+    are not required), so the whole build has ZERO shuffles: parquet
+    splits -> tokenize+encode -> write. Otherwise an explicit
+    repartitionByRange(n_shards) pays one shuffle for contiguous ranges.
+    """
+    sel = docs.select("doc_id", content_col)
+    if reuse_partitions:
+        parted = sel
+    else:
+        if not n_shards:
+            raise ValueError("n_shards required when not reusing partitions")
+        parted = sel.repartitionByRange(n_shards, "doc_id")
+
+    def encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import itertools
+
+        from pyspark import TaskContext
+
+        shard_id = TaskContext.get().partitionId()
+        # accumulate per Arrow batch: flat token stream + owner doc +
+        # in-doc position, all C-vectorized (no per-token Python)
+        term_chunks, doc_chunks, pos_chunks = [], [], []
+        id_chunks, len_chunks = [], []
+        for pdf in batches:
+            s = tokenize_series(pdf[content_col])
+            counts = s.map(len).to_numpy(dtype=np.int64)
+            total = int(counts.sum())
+            flat_terms = np.fromiter(
+                itertools.chain.from_iterable(s), dtype=object, count=total
+            )
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            doc_rep = np.repeat(ids, counts)
+            ends = np.cumsum(counts)
+            pos = np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
+            term_chunks.append(flat_terms)
+            doc_chunks.append(doc_rep)
+            pos_chunks.append(pos)
+            id_chunks.append(ids)
+            # reference BodyLength(): non-empty ' '-split chunks (B3),
+            # as a vectorized regex count over the RAW content
+            len_chunks.append(
+                pdf[content_col].str.count("[^ ]+").to_numpy(dtype=np.int64)
+            )
+        if not id_chunks or sum(len(c) for c in id_chunks) == 0:
+            yield pd.DataFrame(
+                columns=[f.split()[0] for f in SEGMENT_SCHEMA.split(", ")]
+            )
+            return
+        terms = np.concatenate(term_chunks)
+        docs_rep = np.concatenate(doc_chunks)
+        pos_all = np.concatenate(pos_chunks)
+        # factorize (C hash) then a pure-int lexsort: (term, doc, pos)
+        codes, uniques = pd.factorize(terms, sort=True)
+        order = np.lexsort((pos_all, docs_rep, codes))
+        c, d, p = codes[order], docs_rep[order], pos_all[order]
+        # posting boundaries: change of (term, doc)
+        new_posting = np.empty(len(c), dtype=bool)
+        new_posting[0] = True
+        np.logical_or(np.diff(c) != 0, np.diff(d) != 0, out=new_posting[1:])
+        posting_of = np.cumsum(new_posting) - 1
+        tfs_all = np.bincount(posting_of).astype(np.int64)
+        posting_doc = d[new_posting]
+        posting_code = c[new_posting]
+        # term boundaries over postings
+        term_breaks = np.flatnonzero(
+            np.diff(posting_code, prepend=posting_code[0] - 1) != 0
+        )
+        term_bounds = np.append(term_breaks, len(posting_code))
+        pos_starts = np.cumsum(tfs_all) - tfs_all
+        rows = []
+        for t_i in range(len(term_bounds) - 1):
+            lo, hi = term_bounds[t_i], term_bounds[t_i + 1]
+            flat = p[pos_starts[lo] : pos_starts[hi - 1] + tfs_all[hi - 1]]
+            rows.append(
+                _encode_term_flat(
+                    shard_id,
+                    uniques[posting_code[lo]],
+                    posting_doc[lo:hi],
+                    tfs_all[lo:hi],
+                    flat,
+                )
+            )
+        rows.append(
+            doclen_sentinel_row(
+                shard_id,
+                np.concatenate(id_chunks),
+                np.concatenate(len_chunks),
+            )
+        )
+        yield pd.DataFrame(rows)
+
+    return parted.mapInPandas(encode_partition, SEGMENT_SCHEMA)
+
+
+def write_index_mapside(
+    docs: DataFrame,
+    index_dir: str,
+    config: IndexConfig | None = None,
+    content_col: str = "content",
+    reuse_partitions: bool = False,
+) -> None:
+    """Full index build with ONE pass over the documents:
+    segments (map-side) -> dictionary (vocab-sized agg over segment
+    rows) -> global stats (decoded from the sentinel rows)."""
+    config = config or IndexConfig()
+    spark = docs.sparkSession
+    segs = build_segments_mapside(
+        docs, config.n_shards, content_col, reuse_partitions=reuse_partitions
+    )
+    segs.write.mode("overwrite").partitionBy("shard_id").parquet(
+        f"{index_dir}/segments"
+    )
+    written = spark.read.parquet(f"{index_dir}/segments")
+    (
+        written.filter(F.col("term") != DOCLEN_TERM)
+        .groupBy("term")
+        .agg(F.sum("df_shard").cast("int").alias("df"))
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/dictionary")
+    )
+    # global N and avgdl from the sentinels (no second scan of the docs)
+    sent = written.filter(F.col("term") == DOCLEN_TERM)
+
+    def stats_of(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ns, sums = [], []
+            for _, row in pdf.iterrows():
+                _, _, lens = decode_doclen_sentinel(row)
+                ns.append(len(lens))
+                sums.append(int(lens.sum()))
+            yield pd.DataFrame({"n": ns, "s": sums})
+
+    agg = (
+        sent.mapInPandas(stats_of, "n long, s long")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+        .collect()[0]
+    )
+    n_docs = int(agg["n"])
+    avgdl = float(agg["s"]) / n_docs if n_docs else 1.0
+    n_shards_actual = (
+        int(written.agg(F.max("shard_id")).collect()[0][0] or 0) + 1
+        if reuse_partitions
+        else config.n_shards
+    )
+    meta = {
+        "n_docs": n_docs, "avgdl": avgdl, "n_shards": n_shards_actual,
+        "k1": config.bm25.k1, "b": config.bm25.b,
+        "format": "wiser-spark-segment-v2-mapside",
+        "doclen_sentinel": True,
+    }
+    os.makedirs(index_dir, exist_ok=True)
+    with open(f"{index_dir}/stats.json", "w") as f:
+        json.dump(meta, f, indent=1)

@@ -81,6 +81,51 @@ def build_postings(
     return toks.groupBy("term", "doc_id").agg(*aggs)
 
 
+def build_postings_arrow(
+    docs: DataFrame, with_positions: bool = True, content_col: str = "content"
+) -> DataFrame:
+    """Shuffle-free posting construction (the build-path fast lane).
+
+    A document's postings depend only on that document, so grouping by
+    (term, doc_id) needs NO shuffle — this tokenizes and groups inside
+    one Arrow-batched mapInPandas pass (the reference's offline-analyzer
+    stage S3, ``scripts/tokenize_wiki_linedoc.py``, as a vectorized UDF).
+    Output is identical to build_postings() (differential-tested); use
+    that one when a pure-Catalyst lineage is wanted, this one for bulk
+    builds where the 1-row-per-token explode shuffle would dominate.
+    """
+    import pandas as pd
+
+    from wiser_spark.functions.tokenize import tokenize_series
+
+    schema = (
+        "term string, doc_id long, tf int, positions array<int>"
+        if with_positions
+        else "term string, doc_id long, tf int"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            token_lists = tokenize_series(pdf[content_col])
+            terms, ids, tfs, poss = [], [], [], []
+            for doc_id, tokens in zip(pdf["doc_id"], token_lists):
+                groups: dict[str, list[int]] = {}
+                for pos, tok in enumerate(tokens):
+                    groups.setdefault(tok, []).append(pos)
+                for tok, positions in groups.items():
+                    terms.append(tok)
+                    ids.append(doc_id)
+                    tfs.append(len(positions))
+                    if with_positions:
+                        poss.append(positions)
+            out = {"term": terms, "doc_id": ids, "tf": tfs}
+            if with_positions:
+                out["positions"] = poss
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(run, schema)
+
+
 def build_dictionary(postings: DataFrame) -> DataFrame:
     """(term, df) — document frequency per term (posting-list size, the
     reference's ``Size()`` used for idf, ``query_processing.h:544-548``)."""

@@ -44,7 +44,11 @@ from wiser_spark.functions.packing import (
     delta_encode,
     encode_column,
 )
-from wiser_spark.functions.varint import varint_decode, varint_encode
+from wiser_spark.functions.varint import (
+    varint_decode,
+    varint_encode,
+    varint_lengths,
+)
 from wiser_spark.operators.docstats import CorpusStats
 
 SEGMENT_SCHEMA = (
@@ -54,28 +58,75 @@ SEGMENT_SCHEMA = (
     "skip_tf_offs array<long>, skip_pos_offs array<long>"
 )
 
+# sentinel term of a per-shard doc-length row (v2 map-side indexes): the
+# tokenizer can never emit an empty term, so "" is collision-free
+DOCLEN_TERM = ""
+
+
+def doclen_sentinel_row(shard_id: int, doc_ids, doclens) -> dict:
+    """Per-shard doc-length row: docIDs delta+packed, lossy Char4 bytes
+    packed in tfs_blob, TRUE lengths varint'd in pos_blob (for avgdl)."""
+    from wiser_spark.functions.char4 import uint_to_char4
+
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    doclens = np.asarray(doclens, dtype=np.int64)
+    order = np.argsort(doc_ids, kind="stable")
+    doc_ids, doclens = doc_ids[order], doclens[order]
+    docids_blob, docid_offs = encode_column(delta_encode(doc_ids))
+    chars_blob, char_offs = encode_column(uint_to_char4(doclens).astype(np.uint64))
+    return {
+        "shard_id": shard_id,
+        "term": DOCLEN_TERM,
+        "df_shard": len(doc_ids),
+        "docids_blob": docids_blob,
+        "tfs_blob": chars_blob,
+        "pos_blob": varint_encode(doclens),
+        "skip_predocs": [],
+        "skip_docid_offs": docid_offs.tolist(),
+        "skip_tf_offs": char_offs.tolist(),
+        "skip_pos_offs": [],
+    }
+
+
+def decode_doclen_sentinel(row) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    """sentinel row -> (doc_ids, lossy_chars, true_lens).
+
+    true_lens is None when the pos_blob column wasn't read (queries only
+    need the lossy bytes; only the avgdl stats pass reads true lengths)."""
+    n = int(row["df_shard"])
+    doc_ids = delta_decode(decode_column(row["docids_blob"], n)).astype(np.int64)
+    chars = decode_column(row["tfs_blob"], n).astype(np.int64)
+    if "pos_blob" not in row or row["pos_blob"] is None:
+        return doc_ids, chars, None
+    lens, _ = varint_decode(row["pos_blob"], count=n)
+    return doc_ids, chars, lens.astype(np.int64)
+
 
 # ----------------------------------------------------------------- write
-def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One (shard, term) group -> one segment row. Pure numpy."""
-    pdf = pdf.sort_values("doc_id")
-    doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-    tfs = pdf["tf"].to_numpy(dtype=np.int64)
+def _encode_term_flat(
+    shard_id: int,
+    term: str,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    flat_pos: np.ndarray | None,
+) -> dict:
+    """One term within a shard -> one segment row. Fully vectorized.
+
+    ``doc_ids`` must be ascending and ``flat_pos`` (if given) is the
+    concatenation of each doc's ascending positions in that doc order;
+    it is delta+varint encoded in ONE pass (per-doc boundaries fixed up
+    vectorially)."""
     docids_blob, docid_offs = encode_column(delta_encode(doc_ids))
     tfs_blob, tf_offs = encode_column(tfs.astype(np.uint64))
 
-    has_pos = "positions" in pdf.columns
-    if has_pos:
-        pos_parts = []
-        pos_byte_offs = np.zeros(len(pdf), dtype=np.int64)
-        total = 0
-        for i, positions in enumerate(pdf["positions"]):
-            enc = varint_encode(delta_encode(np.asarray(positions, dtype=np.int64)))
-            pos_byte_offs[i] = total
-            total += len(enc)
-            pos_parts.append(enc)
-        pos_blob = b"".join(pos_parts)
-        skip_pos = pos_byte_offs[::PACK_SIZE]
+    if flat_pos is not None:
+        starts = np.cumsum(tfs) - tfs
+        deltas = np.diff(flat_pos, prepend=0)
+        deltas[starts] = flat_pos[starts]  # doc's first position: delta vs 0
+        pos_blob = varint_encode(deltas)
+        lens = varint_lengths(deltas)
+        val_offs = np.cumsum(lens) - lens
+        skip_pos = val_offs[starts[::PACK_SIZE]]
     else:
         pos_blob = b""
         skip_pos = np.zeros(0, dtype=np.int64)
@@ -83,32 +134,60 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
     # skip entry i covers postings [i*128, (i+1)*128): preceding docID
     # (doc before the bag, 0 for the first — reference pre-doc-id rows,
     # flash_containers.h:22-30) + frame byte offsets
-    n_bags = (len(pdf) + PACK_SIZE - 1) // PACK_SIZE
+    n = len(doc_ids)
+    n_bags = (n + PACK_SIZE - 1) // PACK_SIZE
     pre = np.zeros(n_bags, dtype=np.int64)
     pre[1:] = doc_ids[PACK_SIZE - 1 :: PACK_SIZE][: n_bags - 1]
-    return pd.DataFrame(
-        {
-            "shard_id": [int(pdf["shard_id"].iloc[0])],
-            "term": [pdf["term"].iloc[0]],
-            "df_shard": [len(pdf)],
-            "docids_blob": [docids_blob],
-            "tfs_blob": [tfs_blob],
-            "pos_blob": [pos_blob],
-            "skip_predocs": [pre.tolist()],
-            "skip_docid_offs": [docid_offs.tolist()],
-            "skip_tf_offs": [tf_offs.tolist()],
-            "skip_pos_offs": [skip_pos.tolist()],
-        }
-    )
+    return {
+        "shard_id": shard_id,
+        "term": term,
+        "df_shard": n,
+        "docids_blob": docids_blob,
+        "tfs_blob": tfs_blob,
+        "pos_blob": pos_blob,
+        "skip_predocs": pre.tolist(),
+        "skip_docid_offs": docid_offs.tolist(),
+        "skip_tf_offs": tf_offs.tolist(),
+        "skip_pos_offs": skip_pos.tolist(),
+    }
+
+
+def _encode_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One shard's postings -> one segment row per term, in term order
+    (so parquet row-group min/max stats prune term lookups)."""
+    shard_id = int(pdf["shard_id"].iloc[0])
+    has_pos = "positions" in pdf.columns
+    doc_arr = pdf["doc_id"].to_numpy(dtype=np.int64)
+    tf_arr = pdf["tf"].to_numpy(dtype=np.int64)
+    pos_arr = pdf["positions"].to_numpy() if has_pos else None
+    rows = []
+    # pandas groupby gives sorted keys and C-speed index slicing
+    for term, idx in pdf.groupby("term", sort=True).indices.items():
+        order = idx[np.argsort(doc_arr[idx], kind="stable")]
+        flat = (
+            np.concatenate([np.asarray(pos_arr[j], dtype=np.int64) for j in order])
+            if has_pos
+            else None
+        )
+        rows.append(
+            _encode_term_flat(shard_id, term, doc_arr[order], tf_arr[order], flat)
+        )
+    return pd.DataFrame(rows)
 
 
 def build_segments(postings: DataFrame, n_shards: int) -> DataFrame:
-    """postings (term, doc_id, tf[, positions]) -> segment rows."""
+    """postings (term, doc_id, tf[, positions]) -> segment rows.
+
+    One Arrow group per shard: the (doc_id % n_shards) shuffle is the
+    ONLY data movement of the segment stage; every term of the shard is
+    encoded locally. Size n_shards so a shard's postings fit one task
+    (at 10^12 docs that's simply a larger n_shards — work per shard is
+    bounded by shard doc count, never by a term's global df)."""
     with_shard = postings.withColumn(
         "shard_id", (F.col("doc_id") % n_shards).cast("int")
     )
-    return with_shard.groupBy("shard_id", "term").applyInPandas(
-        _encode_group, SEGMENT_SCHEMA
+    return with_shard.groupBy("shard_id").applyInPandas(
+        _encode_shard, SEGMENT_SCHEMA
     )
 
 
@@ -125,12 +204,10 @@ def write_index(
     dictionary, doc stats, and a stats/metadata JSON."""
     config = config or IndexConfig()
     segs = build_segments(postings, config.n_shards)
-    (
-        segs.repartition("shard_id")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .partitionBy("shard_id")
-        .parquet(f"{index_dir}/segments")
+    # already hash-partitioned by shard_id (the groupBy), rows emitted in
+    # term order inside each shard — no extra shuffle before the write
+    segs.write.mode("overwrite").partitionBy("shard_id").parquet(
+        f"{index_dir}/segments"
     )
     dictionary.write.mode("overwrite").parquet(f"{index_dir}/dictionary")
     docstats.select("doc_id", "doclen", "doclen_char").write.mode(
@@ -180,10 +257,17 @@ class SegmentIndex:
         self.params = BM25Params(k1=self.meta["k1"], b=self.meta["b"])
         self.stats = CorpusStats(self.meta["n_docs"], self.meta["avgdl"])
         self.segments = spark.read.parquet(f"{index_dir}/segments")
-        # dictionary + docstats are the hot lookup tables of every query
-        # (the reference mmaps my.tip / my.doc_length once) — cache them
+        # dictionary is the hot lookup table of every query (the
+        # reference mmaps my.tip once) — cache it
         self.dictionary = spark.read.parquet(f"{index_dir}/dictionary").cache()
-        self.docstats = spark.read.parquet(f"{index_dir}/docstats").cache()
+        # v2 (map-side) indexes carry doc lengths as in-shard sentinel
+        # rows; v1 keeps a separate docstats table (query-time cogroup)
+        self.has_sentinel = bool(self.meta.get("doclen_sentinel"))
+        self.docstats = (
+            None
+            if self.has_sentinel
+            else spark.read.parquet(f"{index_dir}/docstats").cache()
+        )
 
     def search(
         self, terms: list[str], k: int = 10, is_phrase: bool = False
@@ -214,24 +298,52 @@ class SegmentIndex:
         need_pos = is_phrase and len(terms_l) > 1
         k1 = params.k1
 
-        # doclen bytes per shard ride along as a second grouped frame via
-        # cogroup (keeps the lossy-length lookup shard-local, no big join)
+        # doc-length lookup: v2 reads the in-shard sentinel row; v1
+        # cogroups a docstats slice per shard
         n_shards = self.meta["n_shards"]
-        doclens = self.docstats.withColumn(
-            "shard_id", (F.col("doc_id") % n_shards).cast("int")
-        ).select("shard_id", "doc_id", "doclen_char")
-        seg = self.segments.filter(F.col("term").isin(terms_l))
+        has_sentinel = self.has_sentinel
+        seg_cols = [
+            "shard_id", "term", "df_shard", "docids_blob", "tfs_blob",
+            "skip_predocs", "skip_docid_offs", "skip_tf_offs",
+        ]
+        if need_pos:  # positions read ONLY for phrase queries (the
+            # sentinel's lossy bytes live in tfs_blob, always read)
+            seg_cols += ["pos_blob", "skip_pos_offs"]
+        wanted = terms_l + ([""] if has_sentinel else [])
+        seg = self.segments.filter(F.col("term").isin(wanted)).select(*seg_cols)
+        doclens = (
+            None
+            if has_sentinel
+            else self.docstats.withColumn(
+                "shard_id", (F.col("doc_id") % n_shards).cast("int")
+            ).select("shard_id", "doc_id", "doclen_char")
+        )
 
-        def score_shard(seg_pdf: pd.DataFrame, len_pdf: pd.DataFrame) -> pd.DataFrame:
+        def score_shard(seg_pdf: pd.DataFrame, len_pdf: pd.DataFrame | None) -> pd.DataFrame:
             out_empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                                       "score": pd.Series(dtype="float64")})
-            rows = {r["term"]: r for _, r in seg_pdf.iterrows()}
-            if any(t not in rows for t in terms_l):
+            # a term may have several segment rows in a shard (streaming
+            # delta generations / size-capped splits); doc ranges are
+            # disjoint, so decode each and concatenate in docID order
+            rows_by_term: dict[str, list] = {}
+            for _, r in seg_pdf.iterrows():
+                rows_by_term.setdefault(r["term"], []).append(r)
+            sentinel_rows = rows_by_term.pop(DOCLEN_TERM, None)
+            if any(t not in rows_by_term for t in terms_l):
                 return out_empty
-            decoded = {
-                t: decode_segment_row(rows[t], with_positions=need_pos)
-                for t in set(terms_l)
-            }
+            decoded = {}
+            for t in set(terms_l):
+                parts = [
+                    decode_segment_row(r, with_positions=need_pos)
+                    for r in rows_by_term[t]
+                ]
+                parts.sort(key=lambda p: int(p[0][0]))
+                ids = np.concatenate([p[0] for p in parts])
+                tfs = np.concatenate([p[1] for p in parts])
+                plists = (
+                    [pl for p in parts for pl in p[2]] if need_pos else None
+                )
+                decoded[t] = (ids, tfs, plists)
             # k-way conjunction, smallest list first (zig-zag analogue)
             cand = None
             for t in sorted(set(terms_l), key=lambda t: decoded[t][0].size):
@@ -240,26 +352,44 @@ class SegmentIndex:
                 if cand.size == 0:
                     return out_empty
             if need_pos:
-                keep = []
-                for d in cand:
-                    adj = None
-                    ok = True
-                    for i, t in enumerate(terms_l):
-                        ids, _, plists = decoded[t]
-                        j = int(np.searchsorted(ids, d))
-                        pos = plists[j] - i
-                        adj = pos if adj is None else np.intersect1d(adj, pos)
-                        if adj.size == 0:
-                            ok = False
-                            break
-                    if ok:
-                        keep.append(d)
-                cand = np.asarray(keep, dtype=np.int64)
-                if cand.size == 0:
-                    return out_empty
+                # fully vectorized adjusted-position intersect: one key
+                # per (candidate, position) as cand_idx * 2^32 + (pos - i
+                # + k_terms); phrase docs = docs surviving the k-way key
+                # intersection. No per-candidate Python loop.
+                n_terms = len(terms_l)
+                key_sets = []
+                for i, t in enumerate(terms_l):
+                    ids, tfs, plists = decoded[t]
+                    at = np.searchsorted(ids, cand)
+                    cand_tfs = tfs[at]
+                    # gather candidate docs' positions from the flat lists
+                    pos_cat = (
+                        np.concatenate([plists[j] for j in at])
+                        if at.size
+                        else np.zeros(0, dtype=np.int64)
+                    )
+                    owner = np.repeat(np.arange(cand.size, dtype=np.int64), cand_tfs)
+                    keys = (owner << np.int64(32)) | (
+                        pos_cat.astype(np.int64) - i + n_terms
+                    )
+                    key_sets.append(keys)
+                key_sets.sort(key=lambda a: a.size)
+                surv = key_sets[0]
+                for ks in key_sets[1:]:
+                    surv = surv[np.isin(surv, ks)]
+                    if surv.size == 0:
+                        return out_empty
+                cand = cand[np.unique(surv >> np.int64(32))]
             # vectorized BM25 over the shard's candidates
-            len_by_doc = len_pdf.set_index("doc_id")["doclen_char"]
-            codes = len_by_doc.reindex(cand).to_numpy(dtype=np.int64) & 0xFF
+            if sentinel_rows is not None:
+                parts = [decode_doclen_sentinel(r) for r in sentinel_rows]
+                parts.sort(key=lambda p: int(p[0][0]) if len(p[0]) else 0)
+                sent_ids = np.concatenate([p[0] for p in parts])
+                sent_chars = np.concatenate([p[1] for p in parts])
+                codes = sent_chars[np.searchsorted(sent_ids, cand)] & 0xFF
+            else:
+                len_by_doc = len_pdf.set_index("doc_id")["doclen_char"]
+                codes = len_by_doc.reindex(cand).to_numpy(dtype=np.int64) & 0xFF
             scores = np.zeros(cand.size, dtype=np.float64)
             for i, t in enumerate(terms_l):
                 ids, tfs, _ = decoded[t]
@@ -268,9 +398,16 @@ class SegmentIndex:
             order = np.lexsort((cand, -scores))[:k]
             return pd.DataFrame({"doc_id": cand[order], "score": scores[order]})
 
-        per_shard = seg.groupBy("shard_id").cogroup(
-            doclens.groupBy("shard_id")
-        ).applyInPandas(lambda sp, lp: score_shard(sp, lp), "doc_id long, score double")
+        if has_sentinel:
+            per_shard = seg.groupBy("shard_id").applyInPandas(
+                lambda sp: score_shard(sp, None), "doc_id long, score double"
+            )
+        else:
+            per_shard = seg.groupBy("shard_id").cogroup(
+                doclens.groupBy("shard_id")
+            ).applyInPandas(
+                lambda sp, lp: score_shard(sp, lp), "doc_id long, score double"
+            )
         top = per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         from pyspark.sql import Window
 

@@ -107,3 +107,87 @@ def bm25_topk(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "doc_id", "score"
     )
+
+
+def bm25_topk_batch(
+    postings: DataFrame,
+    docstats: DataFrame,
+    dictionary: DataFrame,
+    stats: CorpusStats,
+    queries: list[tuple[int, list[str], bool]],
+    k: int = 10,
+    params: BM25Params | None = None,
+) -> DataFrame:
+    """Answer a WHOLE query log in one job -> (query_id, rank, doc_id,
+    score). This is where QPS comes from: per-query Spark jobs pay fixed
+    scheduling latency; batching amortizes it into one plan per query
+    SHAPE (term count × phrase flag), with the query set broadcast into
+    the posting joins and the per-query top-k done by a window
+    partitioned on query_id (parallel across queries)."""
+    params = params or BM25Params()
+    spark = postings.sparkSession
+    from pyspark.sql import Window
+
+    out_schema = "query_id int, rank int, doc_id long, score double"
+    results = []
+    by_shape: dict[tuple[int, bool], list[tuple[int, list[str]]]] = {}
+    for qid, terms, is_phrase in queries:
+        if terms:
+            by_shape.setdefault((len(terms), bool(is_phrase)), []).append(
+                (qid, terms)
+            )
+
+    for (n, is_phrase), qs in by_shape.items():
+        use_phrase = is_phrase and n > 1
+        qrows = [(qid, *terms) for qid, terms in qs]
+        qdf = spark.createDataFrame(
+            qrows, ", ".join(["query_id int"] + [f"t{i} string" for i in range(n)])
+        )
+        joined = None
+        for i in range(n):
+            qslice = qdf.select("query_id", F.col(f"t{i}").alias("term"))
+            cols = [
+                F.col("query_id"), F.col("doc_id"),
+                F.col("tf").alias(f"tf_{i}"), F.col("df").alias(f"df_{i}"),
+            ]
+            if use_phrase:
+                cols.append(F.col("positions").alias(f"pos_{i}"))
+            slice_i = (
+                postings.join(F.broadcast(qslice), "term")
+                .join(F.broadcast(dictionary), "term")
+                .select(*cols)
+            )
+            joined = (
+                slice_i if joined is None
+                else joined.join(slice_i, ["query_id", "doc_id"])
+            )
+        if use_phrase:
+            def _shift_by(col_name: str, amount: int):
+                return F.transform(F.col(col_name), lambda x: x - F.lit(amount))
+
+            inter = F.col("pos_0")
+            for i in range(1, n):
+                inter = F.array_intersect(inter, _shift_by(f"pos_{i}", i))
+            joined = joined.filter(F.size(inter) > 0)
+
+        scored = joined.join(docstats.select("doc_id", "doclen_lossy"), "doc_id")
+        score = None
+        for i in range(n):
+            contrib = _idf_col(stats.n_docs, F.col(f"df_{i}")) * _tfnorm_col(
+                F.col(f"tf_{i}"), F.col("doclen_lossy"), stats.avgdl, params
+            )
+            score = contrib if score is None else score + contrib
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        results.append(
+            scored.select("query_id", "doc_id", score.alias("score"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score")
+        )
+
+    if not results:
+        return spark.createDataFrame([], out_schema)
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out

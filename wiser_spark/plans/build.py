@@ -114,14 +114,9 @@ class IndexBuildPipeline:
         )
 
         def write_segments(d):
-            (
-                build_segments(postings, cfg.n_shards)
-                .repartition("shard_id")
-                .sortWithinPartitions("term")
-                .write.mode("overwrite")
-                .partitionBy("shard_id")
-                .parquet(d)
-            )
+            build_segments(postings, cfg.n_shards).write.mode(
+                "overwrite"
+            ).partitionBy("shard_id").parquet(d)
 
         self._run_stage(
             "segments",
