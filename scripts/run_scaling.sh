@@ -15,7 +15,7 @@
 set -e
 cd "$(dirname "$0")/.."
 MULT=${MULT:-1600}
-NS=${NS:-"4 16"}
+NS=${NS:-"2 8"}
 rm -f /tmp/wiser_spark.zip
 (cd . && zip -qr /tmp/wiser_spark.zip wiser_spark __spark_entry__.py)
 mkdir -p BENCH

@@ -39,6 +39,9 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
+        # bigger Arrow batches -> fewer per-batch dictionary merges in
+        # the map-side encoder
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

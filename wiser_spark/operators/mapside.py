@@ -32,7 +32,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wiser_spark.config import IndexConfig
-from wiser_spark.functions.tokenize import tokenize_series
 from wiser_spark.operators.segments import (
     DOCLEN_TERM,
     SEGMENT_SCHEMA,
@@ -64,48 +63,109 @@ def build_segments_mapside(
         if not n_shards:
             raise ValueError("n_shards required when not reusing partitions")
         parted = sel.repartitionByRange(n_shards, "doc_id")
+    # JVM in-partition sort (no shuffle): the token stream then arrives
+    # doc-ascending, so the encoder needs ONE stable key sort (term code)
+    # instead of a 3-key lexsort — fewer memory passes per partition
+    parted = parted.sortWithinPartitions("doc_id")
 
-    def encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import itertools
-
+    def encode_partition(arrow_batches) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+        import pyarrow.compute as pc
         from pyspark import TaskContext
 
+        from wiser_spark.config import TOKEN_SPLIT_REGEX
+
         shard_id = TaskContext.get().partitionId()
-        # accumulate per Arrow batch: flat token stream + owner doc +
-        # in-doc position, all C-vectorized (no per-token Python)
-        term_chunks, doc_chunks, pos_chunks = [], [], []
+        # the ENTIRE tokenize+flatten+dictionary-encode pipeline runs in
+        # Arrow C++ — no Python string objects exist in the hot path
+        # (the earlier pandas/.findall variant was memory-bandwidth
+        # bound on PyObject churn and capped multi-core scaling)
+        code_chunks, doc_chunks, pos_chunks = [], [], []
         id_chunks, len_chunks = [], []
-        for pdf in batches:
-            s = tokenize_series(pdf[content_col])
-            counts = s.map(len).to_numpy(dtype=np.int64)
-            total = int(counts.sum())
-            flat_terms = np.fromiter(
-                itertools.chain.from_iterable(s), dtype=object, count=total
+        vocab_chunks = []
+        for rb in arrow_batches:
+            ids_arr = rb.column(rb.schema.get_field_index("doc_id"))
+            content = rb.column(rb.schema.get_field_index(content_col))
+            ids = ids_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+            toks = pc.split_pattern_regex(
+                pc.utf8_lower(content), pattern=TOKEN_SPLIT_REGEX
             )
-            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-            doc_rep = np.repeat(ids, counts)
+            counts_raw = pc.list_value_length(toks).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            flat = pc.list_flatten(toks)
+            keep = pc.not_equal(flat, "")
+            keep_np = keep.to_numpy(zero_copy_only=False)
+            flat_kept = pc.filter(flat, keep)
+            # per-doc token counts after dropping the empty split chunks
+            ends_raw = np.cumsum(counts_raw)
+            kept_cum = np.concatenate(([0], np.cumsum(keep_np)))
+            counts = kept_cum[ends_raw] - kept_cum[ends_raw - counts_raw]
+            total = int(counts.sum())
+            # dictionary-encode kept tokens (C++ hash); codes local to batch
+            denc = pc.dictionary_encode(flat_kept)
+            if isinstance(denc, pa.ChunkedArray):
+                denc = denc.combine_chunks()
+            codes_local = denc.indices.to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            vocab_chunks.append(denc.dictionary)
+            code_chunks.append(codes_local)
+            doc_chunks.append(np.repeat(ids, counts))
             ends = np.cumsum(counts)
-            pos = np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
-            term_chunks.append(flat_terms)
-            doc_chunks.append(doc_rep)
-            pos_chunks.append(pos)
+            pos_chunks.append(
+                np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
+            )
             id_chunks.append(ids)
-            # reference BodyLength(): non-empty ' '-split chunks (B3),
-            # as a vectorized regex count over the RAW content
+            # reference BodyLength(): non-empty ' '-split chunks (B3)
             len_chunks.append(
-                pdf[content_col].str.count("[^ ]+").to_numpy(dtype=np.int64)
+                pc.count_substring_regex(content, "[^ ]+")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
             )
         if not id_chunks or sum(len(c) for c in id_chunks) == 0:
             yield pd.DataFrame(
                 columns=[f.split()[0] for f in SEGMENT_SCHEMA.split(", ")]
             )
             return
-        terms = np.concatenate(term_chunks)
+        # unify per-batch dictionaries into one partition vocabulary
+        offsets = np.zeros(len(vocab_chunks), dtype=np.int64)
+        sizes = np.array([len(v) for v in vocab_chunks], dtype=np.int64)
+        offsets[1:] = np.cumsum(sizes)[:-1]
+        all_vocab = pa.concat_arrays(
+            [v.cast(pa.string()) for v in vocab_chunks]
+        )
+        # global codes: re-encode the concatenated vocab, map local->global
+        genc = pc.dictionary_encode(all_vocab)
+        if isinstance(genc, pa.ChunkedArray):
+            genc = genc.combine_chunks()
+        local_to_global = genc.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        global_vocab = genc.dictionary
+        # sort the vocabulary so segment rows come out in term order
+        vocab_np = np.asarray(global_vocab.to_pylist(), dtype=object)
+        sort_perm = np.argsort(vocab_np, kind="stable")
+        rank_of = np.empty(len(sort_perm), dtype=np.int64)
+        rank_of[sort_perm] = np.arange(len(sort_perm))
+        uniques = vocab_np[sort_perm]
+        codes = np.concatenate(
+            [
+                rank_of[local_to_global[offsets[i] + code_chunks[i]]]
+                for i in range(len(code_chunks))
+            ]
+        )
         docs_rep = np.concatenate(doc_chunks)
         pos_all = np.concatenate(pos_chunks)
-        # factorize (C hash) then a pure-int lexsort: (term, doc, pos)
-        codes, uniques = pd.factorize(terms, sort=True)
-        order = np.lexsort((pos_all, docs_rep, codes))
+        if codes.size == 0:  # docs exist but none tokenized to anything
+            yield pd.DataFrame(
+                [doclen_sentinel_row(shard_id, np.concatenate(id_chunks),
+                                     np.concatenate(len_chunks))]
+            )
+            return
+        # input stream is doc-ascending with in-doc position order, so a
+        # single STABLE sort on the term code yields (term, doc, pos)
+        order = np.argsort(codes, kind="stable")
         c, d, p = codes[order], docs_rep[order], pos_all[order]
         # posting boundaries: change of (term, doc)
         new_posting = np.empty(len(c), dtype=bool)
@@ -143,7 +203,36 @@ def build_segments_mapside(
         )
         yield pd.DataFrame(rows)
 
-    return parted.mapInPandas(encode_partition, SEGMENT_SCHEMA)
+    return parted.mapInArrow(
+        lambda batches: _as_arrow(encode_partition(batches)), SEGMENT_SCHEMA
+    )
+
+
+def _arrow_segment_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("shard_id", pa.int32()),
+            ("term", pa.string()),
+            ("df_shard", pa.int32()),
+            ("docids_blob", pa.binary()),
+            ("tfs_blob", pa.binary()),
+            ("pos_blob", pa.binary()),
+            ("skip_predocs", pa.list_(pa.int64())),
+            ("skip_docid_offs", pa.list_(pa.int64())),
+            ("skip_tf_offs", pa.list_(pa.int64())),
+            ("skip_pos_offs", pa.list_(pa.int64())),
+        ]
+    )
+
+
+def _as_arrow(pdf_iter):
+    import pyarrow as pa
+
+    schema = _arrow_segment_schema()  # built worker-side, no session needed
+    for pdf in pdf_iter:
+        yield pa.RecordBatch.from_pandas(pdf, schema=schema, preserve_index=False)
 
 
 def write_index_mapside(
