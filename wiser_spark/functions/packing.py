@@ -83,8 +83,12 @@ def encode_column(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     if n_full:
         frames = v[: n_full * PACK_SIZE].reshape(n_full, PACK_SIZE)
         maxes = frames.max(axis=1)
-        widths = np.maximum(
-            np.frexp(maxes.astype(np.float64))[1].astype(np.int64), 1
+        # exact bit widths: frexp on float64 can round values >= 2^53
+        # upward (width 65 for a max near 2^64); the python loop is over
+        # FRAMES (1/128th of values), cost negligible
+        widths = np.fromiter(
+            (max(int(m).bit_length(), 1) for m in maxes),
+            dtype=np.int64, count=n_full,
         )
         data_bytes = (PACK_SIZE * widths + 7) // 8
         frame_sizes = 2 + data_bytes

@@ -33,9 +33,11 @@ from pyspark.sql import functions as F
 
 from wiser_spark.config import IndexConfig
 from wiser_spark.operators.segments import (
+    BLOOM_PREFIX,
     DOCLEN_TERM,
     SEGMENT_SCHEMA,
     _encode_term_flat,
+    bloom_row,
     decode_doclen_sentinel,
     doclen_sentinel_row,
 )
@@ -46,6 +48,7 @@ def build_segments_mapside(
     n_shards: int | None = None,
     content_col: str = "content",
     reuse_partitions: bool = False,
+    with_blooms: bool = True,
 ) -> DataFrame:
     """docs (doc_id, content) -> segment rows + one sentinel per shard.
 
@@ -165,6 +168,13 @@ def build_segments_mapside(
             return
         # input stream is doc-ascending with in-doc position order, so a
         # single STABLE sort on the term code yields (term, doc, pos)
+        # next-token code per occurrence (stream is doc-contiguous):
+        # feeds the per-posting end blooms (phrase pruning, ref B15/Q8)
+        nxt = np.full(codes.size, -1, dtype=np.int64)
+        same_doc = docs_rep[1:] == docs_rep[:-1]
+        nxt[:-1][same_doc] = codes[1:][same_doc]
+        # input stream is doc-ascending with in-doc position order, so a
+        # single STABLE sort on the term code yields (term, doc, pos)
         order = np.argsort(codes, kind="stable")
         c, d, p = codes[order], docs_rep[order], pos_all[order]
         # posting boundaries: change of (term, doc)
@@ -181,19 +191,35 @@ def build_segments_mapside(
         )
         term_bounds = np.append(term_breaks, len(posting_code))
         pos_starts = np.cumsum(tfs_all) - tfs_all
+        # per-posting end blooms: OR the next-token masks per posting
+        if with_blooms:
+            from wiser_spark.functions.bloom import (
+                fold_occurrence_blooms,
+                vocab_bloom_table,
+            )
+
+            vocab_bits = vocab_bloom_table(uniques)
+            nxt_sorted = nxt[order]
+            occ_bits = np.where(
+                nxt_sorted >= 0, vocab_bits[np.maximum(nxt_sorted, 0)], np.uint64(0)
+            )
+            posting_blooms = fold_occurrence_blooms(
+                occ_bits, np.flatnonzero(new_posting)
+            )
         rows = []
         for t_i in range(len(term_bounds) - 1):
             lo, hi = term_bounds[t_i], term_bounds[t_i + 1]
             flat = p[pos_starts[lo] : pos_starts[hi - 1] + tfs_all[hi - 1]]
+            term = uniques[posting_code[lo]]
             rows.append(
                 _encode_term_flat(
-                    shard_id,
-                    uniques[posting_code[lo]],
-                    posting_doc[lo:hi],
-                    tfs_all[lo:hi],
-                    flat,
+                    shard_id, term, posting_doc[lo:hi], tfs_all[lo:hi], flat,
                 )
             )
+            if with_blooms:
+                rows.append(
+                    bloom_row(shard_id, term, posting_blooms[lo:hi])
+                )
         rows.append(
             doclen_sentinel_row(
                 shard_id,
@@ -241,6 +267,7 @@ def write_index_mapside(
     config: IndexConfig | None = None,
     content_col: str = "content",
     reuse_partitions: bool = False,
+    with_blooms: bool = True,
 ) -> None:
     """Full index build with ONE pass over the documents:
     segments (map-side) -> dictionary (vocab-sized agg over segment
@@ -248,14 +275,18 @@ def write_index_mapside(
     config = config or IndexConfig()
     spark = docs.sparkSession
     segs = build_segments_mapside(
-        docs, config.n_shards, content_col, reuse_partitions=reuse_partitions
+        docs, config.n_shards, content_col,
+        reuse_partitions=reuse_partitions, with_blooms=with_blooms,
     )
     segs.write.mode("overwrite").partitionBy("shard_id").parquet(
         f"{index_dir}/segments"
     )
     written = spark.read.parquet(f"{index_dir}/segments")
     (
-        written.filter(F.col("term") != DOCLEN_TERM)
+        written.filter(
+            (F.col("term") != DOCLEN_TERM)
+            & ~F.col("term").startswith(BLOOM_PREFIX)
+        )
         .groupBy("term")
         .agg(F.sum("df_shard").cast("int").alias("df"))
         .write.mode("overwrite")

@@ -62,6 +62,28 @@ SEGMENT_SCHEMA = (
 # tokenizer can never emit an empty term, so "" is collision-free
 DOCLEN_TERM = ""
 
+# prefix marking a phrase-bloom row for a term ("\x01" is outside the
+# tokenizer alphabet). The row's tfs_blob packs one 64-bit end bloom per
+# posting, aligned with the term row's docID order (reference stores its
+# bloom boxes as separate regions of the same file, flash_containers.h:499)
+BLOOM_PREFIX = "\x01"
+
+
+def bloom_row(shard_id: int, term: str, blooms) -> dict:
+    blob, offs = encode_column(np.asarray(blooms, dtype=np.uint64))
+    return {
+        "shard_id": shard_id,
+        "term": BLOOM_PREFIX + term,
+        "df_shard": len(blooms),
+        "docids_blob": b"",
+        "tfs_blob": blob,
+        "pos_blob": b"",
+        "skip_predocs": [],
+        "skip_docid_offs": [],
+        "skip_tf_offs": offs.tolist(),
+        "skip_pos_offs": [],
+    }
+
 
 def doclen_sentinel_row(shard_id: int, doc_ids, doclens) -> dict:
     """Per-shard doc-length row: docIDs delta+packed, lossy Char4 bytes
@@ -310,6 +332,9 @@ class SegmentIndex:
             # sentinel's lossy bytes live in tfs_blob, always read)
             seg_cols += ["pos_blob", "skip_pos_offs"]
         wanted = terms_l + ([""] if has_sentinel else [])
+        if need_pos and has_sentinel:
+            # phrase bloom rows (pruning-only) for all but the last term
+            wanted += [BLOOM_PREFIX + t for t in terms_l[:-1]]
         seg = self.segments.filter(F.col("term").isin(wanted)).select(*seg_cols)
         doclens = (
             None
@@ -326,8 +351,13 @@ class SegmentIndex:
             # delta generations / size-capped splits); doc ranges are
             # disjoint, so decode each and concatenate in docID order
             rows_by_term: dict[str, list] = {}
+            bloom_rows: dict[str, list] = {}
             for _, r in seg_pdf.iterrows():
-                rows_by_term.setdefault(r["term"], []).append(r)
+                t = r["term"]
+                if t.startswith(BLOOM_PREFIX):
+                    bloom_rows.setdefault(t[len(BLOOM_PREFIX):], []).append(r)
+                else:
+                    rows_by_term.setdefault(t, []).append(r)
             sentinel_rows = rows_by_term.pop(DOCLEN_TERM, None)
             if any(t not in rows_by_term for t in terms_l):
                 return out_empty
@@ -351,6 +381,30 @@ class SegmentIndex:
                 cand = ids if cand is None else cand[np.isin(cand, ids)]
                 if cand.size == 0:
                     return out_empty
+            if need_pos:
+                # bloom pre-check (ref Q8): for each adjacent pair, keep
+                # candidates whose end-bloom of term_i MAY contain
+                # term_{i+1}. No false negatives by construction, so this
+                # only prunes; the positional intersect below stays the
+                # gate. Applied only when one bloom row pairs with one
+                # term row (single-generation indexes).
+                from wiser_spark.functions.bloom import token_bloom_bits
+
+                for i in range(len(terms_l) - 1):
+                    t = terms_l[i]
+                    brows = bloom_rows.get(t)
+                    if brows is None or len(brows) != 1 or len(rows_by_term[t]) != 1:
+                        continue
+                    n_post = int(brows[0]["df_shard"])
+                    blooms = decode_column(brows[0]["tfs_blob"], n_post)
+                    ids = decoded[t][0]
+                    if blooms.size != ids.size:
+                        continue
+                    at = np.searchsorted(ids, cand)
+                    qb = np.uint64(token_bloom_bits(terms_l[i + 1]))
+                    cand = cand[(blooms[at] & qb) == qb]
+                    if cand.size == 0:
+                        return out_empty
             if need_pos:
                 # fully vectorized adjusted-position intersect: one key
                 # per (candidate, position) as cand_idx * 2^32 + (pos - i
