@@ -183,6 +183,19 @@ def _q_ann_cosine_topk(spark, sf_dir):
     return brute_force_topk(_embeddings(spark, sf_dir), _query_vec(spark, sf_dir), k=10)
 
 
+def _q_embedding_sim_pairs(spark, sf_dir):
+    """Embedding near-dup pairs within sign-LSH buckets (cosine >= 0.3;
+    the blocking bounds the quadratic pair comparison per bucket)."""
+    from wiser_spark.operators.similarity import embedding_near_dup_pairs
+
+    out = embedding_near_dup_pairs(
+        _embeddings(spark, sf_dir), threshold=0.3, n_planes=6
+    )
+    return out.select(
+        "vec_a", "vec_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def _q_ann_lsh_topk(spark, sf_dir):
     from wiser_spark.operators.similarity import lsh_topk
 
@@ -208,6 +221,20 @@ def _q_topk_mapside(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = SegmentIndex(spark, index_dir)
     out = idx.search(["dup", "key"], k=10, is_phrase=False)
     return out.select("rank", "doc_id", F.round("score", 6).alias("score"))
+
+
+def _q_events_windowed(spark, sf_dir):
+    from wiser_spark.streaming.windows import windowed_event_counts
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windowed_event_counts(events, window="10 minutes")
+
+
+def _q_events_sessionize(spark, sf_dir):
+    from wiser_spark.streaming.windows import sessionize_batch
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize_batch(events, gap_minutes=30)
 
 
 # a small mixed-shape query log answered in ONE batched job
@@ -255,6 +282,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "embedding_sim_pairs": _q_embedding_sim_pairs,
+        "events_windowed": _q_events_windowed,
+        "events_sessionize": _q_events_sessionize,
         "bm25_batch_log": _q_bm25_batch,
         "topk_from_segments_mapside": _q_topk_mapside,
     }
@@ -286,6 +316,35 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": csql.fingerprint_sql(k=5),
         "ann_cosine_topk": csql.cosine_topk_sql(query_vec_id=0, k=10),
         "ann_lsh_topk": csql.lsh_topk_sql(query_vec_id=0, k=10, n_planes=6),
+        "embedding_sim_pairs": csql.embedding_sim_pairs_sql(
+            threshold=0.3, n_planes=6
+        ),
+        "events_windowed": """
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+       time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes'
+         AS window_end,
+       event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2, 3
+""",
+        "events_sessionize": """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts))::INT - 1
+           AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, count(*)::INT AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       round(sum(value), 6) AS sum_value
+FROM sess GROUP BY user_id, session_id
+""",
         "topk_from_segments_mapside": osql.bm25_topk_sql(
             ["dup", "key"], k=10, params=PARAMS, is_phrase=False
         ),

@@ -1,0 +1,78 @@
+"""Event-stream operators: watermarked windows (stream == batch) and the
+applyInPandasWithState sessionizer (closed sessions == batch sessions)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from wiser_spark.streaming.windows import (
+    sessionize_batch,
+    sessionize_streaming,
+    windowed_event_counts,
+)
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def _events(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for user in range(3):
+        # two sessions per user: a burst, a >30min gap, another burst
+        for s, start_min in enumerate((0, 90)):
+            for k in range(4):
+                rows.append(
+                    (eid, base + dt.timedelta(minutes=start_min + k * 5 + user),
+                     user, "click" if k % 2 else "view", float(k + user))
+                )
+                eid += 1
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_path):
+    events = _events(spark)
+    events.write.parquet(str(tmp_path / "in"))
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in windowed_event_counts(events).collect()
+    }
+    stream = spark.readStream.schema(events.schema).parquet(str(tmp_path / "in"))
+    q = (
+        windowed_event_counts(stream, watermark="1 hour")
+        .writeStream.format("memory").queryName("winagg")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("select * from winagg").collect()
+    }
+    assert got == batch
+
+
+def test_stateful_sessionizer_matches_batch_closed_sessions(spark, tmp_path):
+    events = _events(spark)
+    events.write.parquet(str(tmp_path / "in"))
+    want = {
+        (r["user_id"], r["session_id"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in sessionize_batch(events, gap_minutes=30).collect()
+    }
+    stream = spark.readStream.schema(events.schema).parquet(str(tmp_path / "in"))
+    q = (
+        sessionize_streaming(stream, gap_minutes=30)
+        .writeStream.format("memory").queryName("sessions")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt")).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_id"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in spark.sql("select * from sessions").collect()
+    }
+    # the stream emits only CLOSED sessions (the final open session per
+    # user stays in state) — emitted ones must match the batch answer
+    assert len(got) == 3  # session 0 closed for each user
+    for key, v in got.items():
+        assert want[key] == v

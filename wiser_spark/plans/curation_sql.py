@@ -226,6 +226,34 @@ FROM scored ORDER BY cosine DESC, vec_id LIMIT {k}
 """
 
 
+def embedding_sim_pairs_sql(
+    threshold: float = 0.3, n_planes: int = 6, dim: int = 64
+) -> str:
+    """Same-bucket embedding pairs above a cosine threshold."""
+    from wiser_spark.operators.similarity import hyperplane
+
+    planes = [hyperplane(p, dim) for p in range(n_planes)]
+    bucket_terms = " + ".join(
+        "(CASE WHEN list_dot_product(e.embedding::DOUBLE[], ["
+        + ", ".join(repr(v) for v in plane)
+        + f"]) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    )
+    cos = (
+        "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+        "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+    )
+    return f"""
+WITH bucketed AS (
+  SELECT e.vec_id, e.embedding, {bucket_terms} AS bucket FROM embeddings e
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({cos}, 6) AS cosine
+FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {cos} >= {threshold!r}
+"""
+
+
 def lsh_topk_sql(
     query_vec_id: int = 0, k: int = 10, n_planes: int = 6, dim: int = 64
 ) -> str:
