@@ -144,6 +144,14 @@ def _q_dedup_simhash(spark, sf_dir):
     return simhash(_documents(spark, sf_dir))
 
 
+def _q_dedup_simhash_pairs(spark, sf_dir):
+    """Near-dup pairs by SimHash Hamming distance <= 3 (12-bit banded
+    blocking for candidates, popcount verification)."""
+    from wiser_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_documents(spark, sf_dir), max_distance=3)
+
+
 def _q_text_token_counts(spark, sf_dir):
     from wiser_spark.operators.textstats import token_counts
 
@@ -276,6 +284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "text_token_counts": _q_text_token_counts,
         "text_language_id": _q_text_language_id,
         "text_quality": _q_text_quality,
@@ -310,6 +319,7 @@ def oracle_sql() -> dict[str, str]:
             num_hashes=32, bands=8, k=3, threshold=0.5
         ),
         "dedup_simhash": csql.simhash_sql(),
+        "dedup_simhash_pairs": csql.simhash_pairs_sql(max_distance=3),
         "text_token_counts": csql.token_counts_sql(),
         "text_language_id": csql.language_id_sql(),
         "text_quality": csql.quality_score_sql(),

@@ -67,6 +67,39 @@ def test_minhash_lsh_matches_exact_jaccard(planted):
     assert high <= set(lsh)  # banding can't miss near-identical docs
 
 
+def test_minhash_lsh_plan_has_no_shingle_join(planted):
+    """The scale gate: LSH verification must be candidate-driven — the
+    physical plan may join on band keys and doc ids but NEVER on the
+    shingle column (that self-join is O(sum df^2) at corpus scale)."""
+    df = minhash_lsh_dedup(planted, 32, 8, k=3, threshold=0.5)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert join_lines, "expected joins in the LSH plan"
+    assert not any("shingle" in ln for ln in join_lines), join_lines
+
+
+def test_simhash_pairs_matches_bruteforce(planted):
+    """Banded blocking must find EXACTLY the pairs within the Hamming
+    radius (no false negatives below n_bands; popcount verify kills the
+    false positives)."""
+    from wiser_spark.operators.dedup import simhash_pairs
+
+    h = {r["doc_id"]: r["simhash"] for r in simhash(planted).collect()}
+    ids = sorted(h)
+    want = {
+        (a, b): bin(h[a] ^ h[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(h[a] ^ h[b]).count("1") <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(planted, max_distance=3).collect()
+    }
+    assert got == want
+    assert (0, 1) in got and got[(0, 1)] == 0  # exact dups -> distance 0
+
+
 def test_simhash_near_dups_close(planted):
     h = {r["doc_id"]: r["simhash"] for r in simhash(planted).collect()}
     def ham(a, b):

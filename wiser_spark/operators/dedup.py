@@ -12,11 +12,15 @@ values):
                  distance with banded blocking
 
 Scale notes (the 100 TB story):
-  * the shingle self-join is bounded by dropping "stopword shingles"
-    (document frequency > max_shingle_df) — same rule on both engines;
-  * MinHash LSH replaces the quadratic verify set with O(docs x bands)
+  * verification is CANDIDATE-DRIVEN everywhere: per-doc shingle sets are
+    gathered once and joined to the candidate pairs by doc_id — cost
+    O(|candidates| x doc size), never a shingle-keyed self-join;
+  * the ngram path's pair GENERATION join is bounded by dropping
+    "stopword shingles" (df > max_shingle_df, default MAX_SHINGLE_DF) —
+    same rule on both engines;
+  * MinHash LSH replaces the quadratic candidate set with O(docs x bands)
     shuffle keys; band keys are the shuffle salt;
-  * all joins key on (shingle|band) — AQE handles residual skew.
+  * remaining joins key on doc_id/band — AQE handles residual skew.
 """
 
 from __future__ import annotations
@@ -70,41 +74,76 @@ def shingles(
 
 
 def _jaccard_pairs(sh: DataFrame, candidates: DataFrame | None) -> DataFrame:
-    """Exact Jaccard for doc pairs sharing >= 1 shingle (optionally
-    restricted to a candidate pair set): (doc_a, doc_b, jaccard)."""
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
+    """Exact Jaccard for a candidate pair set: (doc_a, doc_b, jaccard).
+
+    CANDIDATE-DRIVEN: the verification cost is O(|candidates| x shingles
+    per doc), never O(sum df^2). Each doc's shingle set is gathered once
+    (doc-keyed groupBy — the same shuffle key the build already used) and
+    the candidate pairs join those sets by doc_id; the intersection is a
+    JVM array_intersect per pair. No shingle-keyed self-join exists in
+    this plan, so a hot "stopword shingle" costs only its one set row.
+
+    With candidates=None the pair set is generated first (docs sharing
+    >= 1 shingle) and then verified the same way; that generation join is
+    the inherent cost of EXACT n-gram Jaccard and must be bounded by a
+    shingle-df cap upstream (ngram_jaccard_dedup defaults one).
+    """
+    sets_ = sh.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("sh_set"),
+        F.count("*").alias("n_sh"),
     )
-    if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    if candidates is None:
+        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        candidates = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+    sets_a = sets_.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh_set").alias("set_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sets_b = sets_.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh_set").alias("set_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    n_inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
-                   .withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b")
-              .withColumnRenamed("n_sh", "n_b"), "doc_b")
+        candidates.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
         .select(
             "doc_a", "doc_b",
-            (F.col("n_inter").cast("double")
-             / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+            (n_inter.cast("double")
+             / (F.col("n_a") + F.col("n_b") - n_inter).cast("double")
              ).alias("jaccard"),
         )
     )
+
+
+# Default shingle-df cap: a shingle occurring in more documents than this
+# is a "stopword shingle" and is dropped BEFORE pair generation (the same
+# rule applies in the DuckDB oracle, curation_sql.ngram_jaccard_sql).
+# Near-dup pairs share many RARE shingles, so the cap only removes noise
+# pairs; without it one hot shingle makes the pair join quadratic.
+MAX_SHINGLE_DF = 100
 
 
 def ngram_jaccard_dedup(
     docs: DataFrame,
     k: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = MAX_SHINGLE_DF,
     content_col: str = "content",
 ) -> DataFrame:
-    """Near-dup pairs by exact k-gram Jaccard: (doc_a, doc_b, jaccard)."""
+    """Near-dup pairs by exact k-gram Jaccard: (doc_a, doc_b, jaccard).
+
+    max_shingle_df bounds the candidate join (see MAX_SHINGLE_DF); pass
+    None to disable (exact semantics over ALL shingles — quadratic on hot
+    shingles, small corpora only)."""
     sh = shingles(docs, k, content_col)
     if max_shingle_df is not None:
         rare = (
@@ -195,4 +234,56 @@ def simhash(docs: DataFrame, content_col: str = "content") -> DataFrame:
                    F.pow(F.lit(2.0), F.col("bit").cast("double")).cast("long"))
             .otherwise(F.lit(0))
         ).alias("simhash")
+    )
+
+
+# SimHash banding: 48 bits -> 4 x 12-bit keys. Any pair within Hamming
+# distance <= 3 differs in <= 3 bits, so by pigeonhole at least one of
+# the 4 bands is identical — banded blocking has NO false negatives up
+# to distance n_bands - 1.
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_distance: int = 3,
+    content_col: str = "content",
+    fingerprints: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance: (doc_a, doc_b,
+    hamming <= max_distance).
+
+    Candidates come from 12-bit banded blocking (shuffle key = (band,
+    key), O(docs x 4) rows — never an all-pairs join); verification is a
+    single JVM popcount per candidate pair. max_distance must stay
+    < SIMHASH_BANDS for the blocking to be exact."""
+    assert max_distance < SIMHASH_BANDS, "banding is exact only below n_bands"
+    fp = fingerprints if fingerprints is not None else simhash(docs, content_col)
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    keys = F.array(*[
+        F.shiftright(F.col("simhash"), SIMHASH_BAND_BITS * i).bitwiseAND(F.lit(mask))
+        for i in range(SIMHASH_BANDS)
+    ])
+    banded = fp.select(
+        "doc_id", "simhash", F.posexplode(keys).alias("band", "key")
+    )
+    left = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"),
+        "band", "key",
+    )
+    right = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"),
+        "band", "key",
+    )
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+            .cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_distance)
     )

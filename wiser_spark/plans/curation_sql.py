@@ -66,9 +66,24 @@ def exact_dedup_sql() -> str:
     )
 
 
-def ngram_jaccard_sql(k: int = 3, threshold: float = 0.5) -> str:
+def ngram_jaccard_sql(
+    k: int = 3, threshold: float = 0.5, max_shingle_df: int | None = None
+) -> str:
+    if max_shingle_df is None:
+        from wiser_spark.operators.dedup import MAX_SHINGLE_DF
+
+        max_shingle_df = MAX_SHINGLE_DF
+    # same stopword-shingle cap as the Spark side (dedup.MAX_SHINGLE_DF):
+    # shingles with df > cap are dropped BEFORE pair generation and sizes
+    sh_all = _shingles(k).replace("sh AS", "sh_all AS", 1)
     return f"""
-WITH {_TOKS}, {_shingles(k)}, {_JACCARD}
+WITH {_TOKS}, {sh_all},
+rare AS (
+  SELECT shingle FROM sh_all GROUP BY shingle
+  HAVING count(*) <= {max_shingle_df}
+),
+sh AS (SELECT s.doc_id, s.shingle FROM sh_all s SEMI JOIN rare USING (shingle)),
+{_JACCARD}
 SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
 FROM jac WHERE jaccard >= {threshold!r}
 """
@@ -123,6 +138,32 @@ bits AS (
 SELECT doc_id,
        sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
 FROM bits GROUP BY doc_id
+"""
+
+
+def simhash_pairs_sql(max_distance: int = 3) -> str:
+    """Banded-blocking SimHash near-dup pairs (mirror of
+    dedup.simhash_pairs): 4 x 12-bit band keys -> candidate join ->
+    popcount verification."""
+    from wiser_spark.operators.dedup import SIMHASH_BAND_BITS, SIMHASH_BANDS
+
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    body = simhash_sql().strip()
+    return f"""
+WITH fp AS ({body}),
+banded AS (
+  SELECT doc_id, simhash, i AS band,
+         (simhash >> ({SIMHASH_BAND_BITS} * i)) & {mask} AS key
+  FROM fp, UNNEST(range(0, {SIMHASH_BANDS})) AS t(i)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, l.simhash AS fp_a,
+                  r.doc_id AS doc_b, r.simhash AS fp_b
+  FROM banded l JOIN banded r USING (band, key)
+  WHERE l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(fp_a, fp_b))::INT AS hamming
+FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= {max_distance}
 """
 
 
