@@ -55,6 +55,37 @@ def _q_postings(spark, sf_dir):
     return postings.select("term", "doc_id", "tf")
 
 
+def _q_postings_offsets(spark, sf_dir):
+    """Per-occurrence offset pairs from the Arrow build path, verified by
+    EXTRACTION: substring(lower(content), s+1, e-s) must equal the term
+    for every occurrence (the oracle emits the term twice)."""
+    from wiser_spark.operators.postings import build_postings_arrow
+
+    docs = _documents(spark, sf_dir)
+    p = build_postings_arrow(docs, with_offsets=True)
+    idx = F.sequence(F.lit(0), F.size("positions") - 1)
+    occ = p.select(
+        "doc_id", "term",
+        F.explode(
+            F.arrays_zip(
+                F.col("positions").alias("pos"),
+                F.transform(
+                    idx, lambda i: F.element_at(F.col("offsets"), i * 2 + 1)
+                ).alias("s"),
+                F.transform(
+                    idx, lambda i: F.element_at(F.col("offsets"), i * 2 + 2)
+                ).alias("e"),
+            )
+        ).alias("z"),
+    ).select("doc_id", "term", "z.pos", "z.s", "z.e")
+    return occ.join(docs, "doc_id").select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        "term",
+        F.expr("substring(lower(content), s + 1, e - s)").alias("extracted"),
+    )
+
+
 def _q_term_dict(spark, sf_dir):
     _, postings, _ = _built(spark, sf_dir)
     return build_dictionary(postings)
@@ -276,6 +307,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable] = {
         "postings": _q_postings,
+        "postings_offsets": _q_postings_offsets,
         "term_dict": _q_term_dict,
         "doc_stats": _q_doc_stats,
         "corpus_stats": _q_corpus_stats,
@@ -305,6 +337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out = {
         "postings": osql.postings_sql(),
+        "postings_offsets": osql.postings_offsets_sql(),
         "term_dict": osql.term_dict_sql(),
         "doc_stats": osql.doc_stats_sql(),
         "corpus_stats": osql.corpus_stats_sql(),

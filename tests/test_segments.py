@@ -65,6 +65,43 @@ def test_segment_roundtrip_vs_postings(spark, oracle, index_dir):
     assert got == {k: sorted(v) for k, v in want.items()}
 
 
+def test_segment_offsets_roundtrip(spark):
+    """off_blob round-trips the per-occurrence [s,e) byte spans through
+    both write paths (mapside + shuffle-from-arrow-postings), and every
+    span extracts its exact token from the lowered content."""
+    from wiser_spark.operators.mapside import build_segments_mapside
+    from wiser_spark.operators.postings import build_postings_arrow
+    from wiser_spark.operators.segments import BLOOM_PREFIX, DOCLEN_TERM
+
+    docs = assign_doc_ids(corpus_df(spark, 60), n_partitions=2).select(
+        "doc_id", "content"
+    )
+    content = {r["doc_id"]: r["content"].lower() for r in docs.collect()}
+
+    def check(rows):
+        n_occ = 0
+        for r in rows:
+            row = r.asDict()
+            if row["term"] == DOCLEN_TERM or row["term"].startswith(BLOOM_PREFIX):
+                continue
+            ids, tfs, _, offs = decode_segment_row(
+                row, with_positions=True, with_offsets=True
+            )
+            for d, tf, o in zip(ids, tfs, offs):
+                assert len(o) == 2 * tf
+                for i in range(int(tf)):
+                    s, e = int(o[2 * i]), int(o[2 * i + 1])
+                    assert content[int(d)][s:e] == row["term"]
+                    n_occ += 1
+        return n_occ
+
+    mapside = build_segments_mapside(docs, n_shards=2).collect()
+    shuffle = build_segments(
+        build_postings_arrow(docs, with_offsets=True), n_shards=2
+    ).collect()
+    assert check(mapside) == check(shuffle) > 1000
+
+
 def test_skip_entries_partial_decode(spark):
     """Skip rows every 128 postings allow decoding from a bag boundary."""
     rows = [("t", i * 3, 1 + (i % 5)) for i in range(400)]  # one term, 400 docs

@@ -83,16 +83,18 @@ def build_segments_mapside(
         # Arrow C++ — no Python string objects exist in the hot path
         # (the earlier pandas/.findall variant was memory-bandwidth
         # bound on PyObject churn and capped multi-core scaling)
+        from wiser_spark.functions.tokenize import token_spans_batch
+
         code_chunks, doc_chunks, pos_chunks = [], [], []
+        start_chunks, end_chunks = [], []
         id_chunks, len_chunks = [], []
         vocab_chunks = []
         for rb in arrow_batches:
             ids_arr = rb.column(rb.schema.get_field_index("doc_id"))
             content = rb.column(rb.schema.get_field_index(content_col))
             ids = ids_arr.to_numpy(zero_copy_only=False).astype(np.int64)
-            toks = pc.split_pattern_regex(
-                pc.utf8_lower(content), pattern=TOKEN_SPLIT_REGEX
-            )
+            low = pc.utf8_lower(content)
+            toks = pc.split_pattern_regex(low, pattern=TOKEN_SPLIT_REGEX)
             counts_raw = pc.list_value_length(toks).to_numpy(
                 zero_copy_only=False
             ).astype(np.int64)
@@ -119,6 +121,14 @@ def build_segments_mapside(
             pos_chunks.append(
                 np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
             )
+            # byte spans of the SAME token stream (offsets column):
+            # maximal [a-z0-9_] runs == non-empty split pieces, asserted
+            sp_counts, sp_starts, sp_ends = token_spans_batch(low)
+            assert sp_starts.size == total and np.array_equal(
+                sp_counts, counts
+            ), "token spans misaligned with split tokens"
+            start_chunks.append(sp_starts)
+            end_chunks.append(sp_ends)
             id_chunks.append(ids)
             # reference BodyLength(): non-empty ' '-split chunks (B3)
             len_chunks.append(
@@ -146,12 +156,21 @@ def build_segments_mapside(
             np.int64
         )
         global_vocab = genc.dictionary
-        # sort the vocabulary so segment rows come out in term order
-        vocab_np = np.asarray(global_vocab.to_pylist(), dtype=object)
-        sort_perm = np.argsort(vocab_np, kind="stable")
+        # sort the vocabulary so segment rows come out in term order —
+        # in Arrow C++ (UTF-8 byte order == code-point order, identical
+        # to a Python-string sort); the ONE Python-string materialization
+        # left is `uniques` itself, which every segment row's term field
+        # and the per-unique-term md5 bloom table need anyway
+        sort_perm = (
+            pc.sort_indices(global_vocab)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         rank_of = np.empty(len(sort_perm), dtype=np.int64)
         rank_of[sort_perm] = np.arange(len(sort_perm))
-        uniques = vocab_np[sort_perm]
+        uniques = np.asarray(
+            global_vocab.take(pa.array(sort_perm)).to_pylist(), dtype=object
+        )
         codes = np.concatenate(
             [
                 rank_of[local_to_global[offsets[i] + code_chunks[i]]]
@@ -160,6 +179,8 @@ def build_segments_mapside(
         )
         docs_rep = np.concatenate(doc_chunks)
         pos_all = np.concatenate(pos_chunks)
+        starts_all = np.concatenate(start_chunks)
+        ends_all = np.concatenate(end_chunks)
         if codes.size == 0:  # docs exist but none tokenized to anything
             yield pd.DataFrame(
                 [doclen_sentinel_row(shard_id, np.concatenate(id_chunks),
@@ -177,6 +198,7 @@ def build_segments_mapside(
         # single STABLE sort on the term code yields (term, doc, pos)
         order = np.argsort(codes, kind="stable")
         c, d, p = codes[order], docs_rep[order], pos_all[order]
+        st, en = starts_all[order], ends_all[order]
         # posting boundaries: change of (term, doc)
         new_posting = np.empty(len(c), dtype=bool)
         new_posting[0] = True
@@ -209,11 +231,17 @@ def build_segments_mapside(
         rows = []
         for t_i in range(len(term_bounds) - 1):
             lo, hi = term_bounds[t_i], term_bounds[t_i + 1]
-            flat = p[pos_starts[lo] : pos_starts[hi - 1] + tfs_all[hi - 1]]
+            sl = slice(pos_starts[lo], pos_starts[hi - 1] + tfs_all[hi - 1])
+            flat = p[sl]
+            # interleave the occurrence spans into [s,e,s,e,...]
+            flat_off = np.empty(2 * flat.size, dtype=np.int64)
+            flat_off[0::2] = st[sl]
+            flat_off[1::2] = en[sl]
             term = uniques[posting_code[lo]]
             rows.append(
                 _encode_term_flat(
                     shard_id, term, posting_doc[lo:hi], tfs_all[lo:hi], flat,
+                    flat_off,
                 )
             )
             if with_blooms:
@@ -245,10 +273,12 @@ def _arrow_segment_schema():
             ("docids_blob", pa.binary()),
             ("tfs_blob", pa.binary()),
             ("pos_blob", pa.binary()),
+            ("off_blob", pa.binary()),
             ("skip_predocs", pa.list_(pa.int64())),
             ("skip_docid_offs", pa.list_(pa.int64())),
             ("skip_tf_offs", pa.list_(pa.int64())),
             ("skip_pos_offs", pa.list_(pa.int64())),
+            ("skip_off_offs", pa.list_(pa.int64())),
         ]
     )
 

@@ -82,48 +82,124 @@ def build_postings(
 
 
 def build_postings_arrow(
-    docs: DataFrame, with_positions: bool = True, content_col: str = "content"
+    docs: DataFrame,
+    with_positions: bool = True,
+    content_col: str = "content",
+    with_offsets: bool = False,
 ) -> DataFrame:
     """Shuffle-free posting construction (the build-path fast lane).
 
     A document's postings depend only on that document, so grouping by
-    (term, doc_id) needs NO shuffle — this tokenizes and groups inside
-    one Arrow-batched mapInPandas pass (the reference's offline-analyzer
-    stage S3, ``scripts/tokenize_wiki_linedoc.py``, as a vectorized UDF).
+    (term, doc_id) needs NO shuffle — this tokenizes, dictionary-encodes,
+    and groups inside one mapInArrow pass with NO per-token Python (the
+    same Arrow C++ kernels as the map-side index build; the reference's
+    offline-analyzer stage S3, ``scripts/tokenize_wiki_linedoc.py``).
     Output is identical to build_postings() (differential-tested); use
     that one when a pure-Catalyst lineage is wanted, this one for bulk
     builds where the 1-row-per-token explode shuffle would dominate.
+
+    with_offsets adds an ``offsets`` column: the flat [s,e,s,e,...] byte
+    spans of each occurrence in the LOWERED content (2*tf ints, aligned
+    with ``positions``) — the reference's per-posting offset pairs
+    (``posting.h:42-152``).
     """
-    import pandas as pd
 
-    from wiser_spark.functions.tokenize import tokenize_series
+    def run(arrow_batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    schema = (
-        "term string, doc_id long, tf int, positions array<int>"
-        if with_positions
-        else "term string, doc_id long, tf int"
-    )
+        from wiser_spark.config import TOKEN_SPLIT_REGEX
+        from wiser_spark.functions.tokenize import token_spans_batch
 
-    def run(batches):
-        for pdf in batches:
-            token_lists = tokenize_series(pdf[content_col])
-            terms, ids, tfs, poss = [], [], [], []
-            for doc_id, tokens in zip(pdf["doc_id"], token_lists):
-                groups: dict[str, list[int]] = {}
-                for pos, tok in enumerate(tokens):
-                    groups.setdefault(tok, []).append(pos)
-                for tok, positions in groups.items():
-                    terms.append(tok)
-                    ids.append(doc_id)
-                    tfs.append(len(positions))
-                    if with_positions:
-                        poss.append(positions)
-            out = {"term": terms, "doc_id": ids, "tf": tfs}
+        import numpy as np
+
+        for rb in arrow_batches:
+            ids = (
+                rb.column(rb.schema.get_field_index("doc_id"))
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            content = rb.column(rb.schema.get_field_index(content_col))
+            low = pc.utf8_lower(content)
+            toks = pc.split_pattern_regex(low, pattern=TOKEN_SPLIT_REGEX)
+            counts_raw = pc.list_value_length(toks).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            flat = pc.list_flatten(toks)
+            keep = pc.not_equal(flat, "")
+            keep_np = keep.to_numpy(zero_copy_only=False)
+            flat_kept = pc.filter(flat, keep)
+            ends_raw = np.cumsum(counts_raw)
+            kept_cum = np.concatenate(([0], np.cumsum(keep_np)))
+            counts = kept_cum[ends_raw] - kept_cum[ends_raw - counts_raw]
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            denc = pc.dictionary_encode(flat_kept)
+            if isinstance(denc, pa.ChunkedArray):
+                denc = denc.combine_chunks()
+            codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            vocab = denc.dictionary
+            d_idx = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+            ends = np.cumsum(counts)
+            pos_all = np.arange(total, dtype=np.int64) - np.repeat(
+                ends - counts, counts
+            )
+            # ONE stable sort on (doc, term): key = d_idx * V + code is
+            # collision-free and keeps in-doc position order
+            key = d_idx * np.int64(len(vocab)) + codes
+            order = np.argsort(key, kind="stable")
+            k_s, pos_s = key[order], pos_all[order]
+            new_posting = np.empty(total, dtype=bool)
+            new_posting[0] = True
+            np.not_equal(np.diff(k_s), 0, out=new_posting[1:])
+            posting_of = np.cumsum(new_posting) - 1
+            tfs = np.bincount(posting_of).astype(np.int64)
+            p_starts = np.flatnonzero(new_posting)
+            p_key = k_s[p_starts]
+            p_doc = ids[(p_key // len(vocab)).astype(np.int64)]
+            p_code = (p_key % len(vocab)).astype(np.int64)
+            arrays = [
+                vocab.take(pa.array(p_code)).cast(pa.string()),
+                pa.array(p_doc, type=pa.int64()),
+                pa.array(tfs.astype(np.int32), type=pa.int32()),
+            ]
+            names = ["term", "doc_id", "tf"]
+            list_offs = np.concatenate(
+                ([0], np.cumsum(tfs))
+            ).astype(np.int32)
             if with_positions:
-                out["positions"] = poss
-            yield pd.DataFrame(out)
+                arrays.append(
+                    pa.ListArray.from_arrays(
+                        pa.array(list_offs),
+                        pa.array(pos_s.astype(np.int32), type=pa.int32()),
+                    )
+                )
+                names.append("positions")
+            if with_offsets:
+                sp_counts, sp_starts, sp_ends = token_spans_batch(low)
+                assert sp_starts.size == total and np.array_equal(
+                    sp_counts, counts
+                ), "token spans misaligned with split tokens"
+                st_s, en_s = sp_starts[order], sp_ends[order]
+                flat_off = np.empty(2 * total, dtype=np.int32)
+                flat_off[0::2] = st_s
+                flat_off[1::2] = en_s
+                arrays.append(
+                    pa.ListArray.from_arrays(
+                        pa.array((2 * list_offs.astype(np.int64)).astype(np.int32)),
+                        pa.array(flat_off, type=pa.int32()),
+                    )
+                )
+                names.append("offsets")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
-    return docs.mapInPandas(run, schema)
+    schema = "term string, doc_id long, tf int"
+    if with_positions:
+        schema += ", positions array<int>"
+    if with_offsets:
+        schema += ", offsets array<int>"
+    return docs.mapInArrow(run, schema)
 
 
 def build_dictionary(postings: DataFrame) -> DataFrame:

@@ -10,6 +10,13 @@ B4-B14):
   tfs_blob    : raw TFs, same framing, NO delta (``:560``)
   pos_blob    : per-doc delta-encoded positions, one varint run per doc,
                 doc boundaries derived from TFs (tf == positions count)
+  off_blob    : per-doc delta-encoded OFFSET PAIRS — the flat
+                [s0,e0,s1,e1,...] byte offsets of each occurrence in the
+                lowered content, one varint run per doc, 2*tf values per
+                doc (the reference's 4th term-entry column, dumped after
+                positions, ``flash_engine_dumper.h:459-461,565-575``;
+                used for snippet highlighting, ``query_processing.h:
+                446-492``). Empty when the build path had no offsets.
   skip_*      : one entry per 128 postings: preceding docID + byte
                 offsets of the frame in each blob (the reference's
                 per-128-bag skip rows, ``flash_containers.h:236-308``) —
@@ -53,9 +60,10 @@ from wiser_spark.operators.docstats import CorpusStats
 
 SEGMENT_SCHEMA = (
     "shard_id int, term string, df_shard int, "
-    "docids_blob binary, tfs_blob binary, pos_blob binary, "
+    "docids_blob binary, tfs_blob binary, pos_blob binary, off_blob binary, "
     "skip_predocs array<long>, skip_docid_offs array<long>, "
-    "skip_tf_offs array<long>, skip_pos_offs array<long>"
+    "skip_tf_offs array<long>, skip_pos_offs array<long>, "
+    "skip_off_offs array<long>"
 )
 
 # sentinel term of a per-shard doc-length row (v2 map-side indexes): the
@@ -78,10 +86,12 @@ def bloom_row(shard_id: int, term: str, blooms) -> dict:
         "docids_blob": b"",
         "tfs_blob": blob,
         "pos_blob": b"",
+        "off_blob": b"",
         "skip_predocs": [],
         "skip_docid_offs": [],
         "skip_tf_offs": offs.tolist(),
         "skip_pos_offs": [],
+        "skip_off_offs": [],
     }
 
 
@@ -103,10 +113,12 @@ def doclen_sentinel_row(shard_id: int, doc_ids, doclens) -> dict:
         "docids_blob": docids_blob,
         "tfs_blob": chars_blob,
         "pos_blob": varint_encode(doclens),
+        "off_blob": b"",
         "skip_predocs": [],
         "skip_docid_offs": docid_offs.tolist(),
         "skip_tf_offs": char_offs.tolist(),
         "skip_pos_offs": [],
+        "skip_off_offs": [],
     }
 
 
@@ -125,33 +137,53 @@ def decode_doclen_sentinel(row) -> tuple[np.ndarray, np.ndarray, np.ndarray | No
 
 
 # ----------------------------------------------------------------- write
+def _delta_varint_runs(
+    flat: np.ndarray, run_starts: np.ndarray, bag_starts: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """Delta+varint encode ``flat`` with the delta RESET at every
+    ``run_starts`` index (per-doc runs); returns (blob, byte offsets of
+    each ``bag_starts`` value) — the skip entries for partial decode."""
+    deltas = np.diff(flat, prepend=0)
+    deltas[run_starts] = flat[run_starts]  # run's first value: delta vs 0
+    blob = varint_encode(deltas)
+    lens = varint_lengths(deltas)
+    val_offs = np.cumsum(lens) - lens
+    return blob, val_offs[bag_starts]
+
+
 def _encode_term_flat(
     shard_id: int,
     term: str,
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     flat_pos: np.ndarray | None,
+    flat_off: np.ndarray | None = None,
 ) -> dict:
     """One term within a shard -> one segment row. Fully vectorized.
 
-    ``doc_ids`` must be ascending and ``flat_pos`` (if given) is the
+    ``doc_ids`` must be ascending; ``flat_pos`` (if given) is the
     concatenation of each doc's ascending positions in that doc order;
-    it is delta+varint encoded in ONE pass (per-doc boundaries fixed up
-    vectorially)."""
+    ``flat_off`` (if given) is the matching flat [s,e,s,e,...] offset
+    pairs (2*tf values per doc). Each is delta+varint encoded in ONE
+    pass (per-doc boundaries fixed up vectorially)."""
     docids_blob, docid_offs = encode_column(delta_encode(doc_ids))
     tfs_blob, tf_offs = encode_column(tfs.astype(np.uint64))
 
+    starts = np.cumsum(tfs) - tfs
     if flat_pos is not None:
-        starts = np.cumsum(tfs) - tfs
-        deltas = np.diff(flat_pos, prepend=0)
-        deltas[starts] = flat_pos[starts]  # doc's first position: delta vs 0
-        pos_blob = varint_encode(deltas)
-        lens = varint_lengths(deltas)
-        val_offs = np.cumsum(lens) - lens
-        skip_pos = val_offs[starts[::PACK_SIZE]]
+        pos_blob, skip_pos = _delta_varint_runs(
+            flat_pos, starts, starts[::PACK_SIZE]
+        )
     else:
-        pos_blob = b""
-        skip_pos = np.zeros(0, dtype=np.int64)
+        pos_blob, skip_pos = b"", np.zeros(0, dtype=np.int64)
+    if flat_off is not None:
+        # offset pairs interleave to a nondecreasing stream within a doc
+        # (s0 <= e0 <= s1 <= ...), so the same per-run delta applies
+        off_blob, skip_off = _delta_varint_runs(
+            flat_off, 2 * starts, 2 * starts[::PACK_SIZE]
+        )
+    else:
+        off_blob, skip_off = b"", np.zeros(0, dtype=np.int64)
 
     # skip entry i covers postings [i*128, (i+1)*128): preceding docID
     # (doc before the bag, 0 for the first — reference pre-doc-id rows,
@@ -167,10 +199,12 @@ def _encode_term_flat(
         "docids_blob": docids_blob,
         "tfs_blob": tfs_blob,
         "pos_blob": pos_blob,
+        "off_blob": off_blob,
         "skip_predocs": pre.tolist(),
         "skip_docid_offs": docid_offs.tolist(),
         "skip_tf_offs": tf_offs.tolist(),
         "skip_pos_offs": skip_pos.tolist(),
+        "skip_off_offs": skip_off.tolist(),
     }
 
 
@@ -179,9 +213,11 @@ def _encode_shard(pdf: pd.DataFrame) -> pd.DataFrame:
     (so parquet row-group min/max stats prune term lookups)."""
     shard_id = int(pdf["shard_id"].iloc[0])
     has_pos = "positions" in pdf.columns
+    has_off = "offsets" in pdf.columns
     doc_arr = pdf["doc_id"].to_numpy(dtype=np.int64)
     tf_arr = pdf["tf"].to_numpy(dtype=np.int64)
     pos_arr = pdf["positions"].to_numpy() if has_pos else None
+    off_arr = pdf["offsets"].to_numpy() if has_off else None
     rows = []
     # pandas groupby gives sorted keys and C-speed index slicing
     for term, idx in pdf.groupby("term", sort=True).indices.items():
@@ -191,8 +227,15 @@ def _encode_shard(pdf: pd.DataFrame) -> pd.DataFrame:
             if has_pos
             else None
         )
+        flat_off = (
+            np.concatenate([np.asarray(off_arr[j], dtype=np.int64) for j in order])
+            if has_off
+            else None
+        )
         rows.append(
-            _encode_term_flat(shard_id, term, doc_arr[order], tf_arr[order], flat)
+            _encode_term_flat(
+                shard_id, term, doc_arr[order], tf_arr[order], flat, flat_off
+            )
         )
     return pd.DataFrame(rows)
 
@@ -249,23 +292,42 @@ def write_index(
 
 
 # ------------------------------------------------------------------ read
-def decode_segment_row(row: dict, with_positions: bool = False):
-    """Segment row -> (doc_ids, tfs[, positions list-of-arrays])."""
+def _decode_runs(blob, counts: np.ndarray) -> np.ndarray:
+    """Decode a per-doc delta varint stream (pos_blob/off_blob layout):
+    ``counts[i]`` values per run, delta reset at run starts. Returns the
+    FLAT decoded values (split per run via counts by the caller)."""
+    vals, _ = varint_decode(blob, count=int(counts.sum()))
+    flat = np.cumsum(vals.astype(np.int64))
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    # undo the cross-run carry: subtract the running total before each run
+    carry = np.zeros(len(flat), dtype=np.int64)
+    carry[starts[1:]] = flat[ends[:-1] - 1]
+    return flat - np.maximum.accumulate(carry)
+
+
+def decode_segment_row(
+    row: dict, with_positions: bool = False, with_offsets: bool = False
+):
+    """Segment row -> (doc_ids, tfs[, positions][, offsets]).
+
+    positions: list of per-doc position arrays. offsets (returned only
+    when with_offsets): list of per-doc flat [s,e,...] arrays, 2*tf
+    values each."""
     n = int(row["df_shard"])
     doc_ids = delta_decode(decode_column(row["docids_blob"], n)).astype(np.int64)
     tfs = decode_column(row["tfs_blob"], n).astype(np.int64)
-    if not with_positions:
-        return doc_ids, tfs, None
-    all_pos, _ = varint_decode(row["pos_blob"], count=int(tfs.sum()))
-    flat = np.cumsum(all_pos.astype(np.int64))
-    ends = np.cumsum(tfs)
-    starts = ends - tfs
-    # undo the cross-doc carry: subtract the running total before each doc
-    carry = np.zeros(len(flat), dtype=np.int64)
-    carry[starts[1:]] = flat[ends[:-1] - 1]
-    flat = flat - np.maximum.accumulate(carry)
-    positions = [flat[s:e] for s, e in zip(starts, ends)]
-    return doc_ids, tfs, positions
+    positions = None
+    if with_positions:
+        flat = _decode_runs(row["pos_blob"], tfs)
+        ends = np.cumsum(tfs)
+        positions = [flat[e - t : e] for t, e in zip(tfs, ends)]
+    if not with_offsets:
+        return doc_ids, tfs, positions
+    flat_off = _decode_runs(row["off_blob"], 2 * tfs)
+    oends = np.cumsum(2 * tfs)
+    offsets = [flat_off[e - 2 * t : e] for t, e in zip(tfs, oends)]
+    return doc_ids, tfs, positions, offsets
 
 
 class SegmentIndex:

@@ -51,6 +51,22 @@ def postings_sql() -> str:
     return f"WITH {_BASE} SELECT term, doc_id, tf FROM postings"
 
 
+def postings_offsets_sql() -> str:
+    """Oracle for the offsets column, SELF-VERIFYING: the Spark side
+    extracts each occurrence's substring via its stored [start, end) byte
+    span and returns it as ``extracted``; the oracle returns the token
+    itself — the hashes match iff every stored offset pair is exact."""
+    return f"""
+WITH {_BASE},
+occ AS (
+  SELECT doc_id, unnest(toks) AS term,
+         (generate_subscripts(toks, 1) - 1)::INT AS pos
+  FROM toks
+)
+SELECT doc_id, pos, term, term AS extracted FROM occ
+"""
+
+
 def term_dict_sql() -> str:
     return f"WITH {_BASE} SELECT term, df FROM dict"
 
