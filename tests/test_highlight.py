@@ -1,4 +1,48 @@
-from wiser_spark.operators.highlight import highlight
+from wiser_spark.operators.highlight import highlight, highlight_doc
+
+
+def test_passage_scoring_prefers_denser_passage():
+    """Reference scoring shape: same tf, earlier/denser passage wins via
+    passage_norm; two hits beat one."""
+    content = "alpha beta gamma. alpha alpha delta. nothing here."
+    offs = [[0, 5, 18, 23, 24, 29]]  # 'alpha' x3
+    out = highlight_doc(content, offs, n_passages=1)
+    assert out == "<b>alpha</b> <b>alpha</b> delta."
+
+
+def test_index_snippets_phrase_filters_offsets(spark, tmp_path):
+    """Snippets from the SEGMENT INDEX: phrase mode bolds ONLY the
+    occurrences at matched phrase positions (query_processing.h:446-492),
+    not every occurrence of each term."""
+    from wiser_spark.config import BM25Params, IndexConfig
+    from wiser_spark.operators.mapside import write_index_mapside
+    from wiser_spark.operators.segments import SegmentIndex
+
+    rows = [
+        (0, "stray table here. the table part works. part alone ends."),
+        (1, "no relevant words at all in this one document."),
+        (2, "table part table part. unrelated tail part table."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    d = str(tmp_path / "idx")
+    write_index_mapside(docs, d, IndexConfig(bm25=BM25Params(1.2, 0.75), n_shards=2))
+    idx = SegmentIndex(spark, d)
+    got = {
+        r["doc_id"]: r["snippet"]
+        for r in idx.search(
+            ["table", "part"], k=10, is_phrase=True,
+            return_snippets=True, docs=docs, n_passages=1,
+        ).collect()
+    }
+    assert set(got) == {0, 2}
+    # doc 0: only the phrase passage chosen; 'stray table' and trailing
+    # 'part alone' are NOT bolded (offset filtering, not term matching)
+    assert got[0] == "the <b>table</b> <b>part</b> works."
+    # doc 2: two phrase matches in the first sentence; the reversed
+    # 'part table' in the tail must NOT produce bolds
+    assert got[2] == "<b>table</b> <b>part</b> <b>table</b> <b>part</b>."
+    # doc_freqs contract: df per term, 0 for absent
+    assert idx.doc_freqs(["table", "part", "zz"]) == [2, 2, 0]
 
 
 def test_highlight_topk(spark):

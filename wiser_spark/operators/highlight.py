@@ -1,16 +1,30 @@
-"""Snippet highlighting for top-k results (reference Q13,
-``highlighter.h:297-453``: sentence-broken passages, matched terms
-wrapped in <b>...</b>, top n_passages per doc).
+"""Snippet highlighting for top-k results (reference Q13).
 
-Simplified Spark rendition: passages are newline/sentence-broken chunks
-of the content; a passage scores by the count of distinct query terms it
-contains (the reference scores passages BM25-like — this keeps the same
-shape: per-passage score -> top-n passages -> bold the matches). Pure
-correctness garnish: never affects ranking, which is why the reference's
-own tests treat snippets separately (``tests_15.cc``)."""
+Faithful rendition of the reference's unified highlighter
+(``highlighter.h:297-453``):
+
+  * the document is broken into sentence passages;
+  * each passage scores ``passage_norm(start) * sum_t tf_norm(tf_t,
+    passage_len)`` with ``passage_norm(s) = 1 + 1/ln(pivot + s)`` and
+    ``tf_norm(f, L) = f / (f + k1*((1-b) + b*L/pivot))``, pivot = 87,
+    k1 = 1.2, b = 0.75 (``highlighter.h:437-450``);
+  * the top ``n_passages`` passages by score are re-ordered by start
+    offset and matched term occurrences are wrapped in <b>...</b>.
+
+Matches come from the index's per-posting OFFSET PAIRS — not from
+re-tokenizing the document (``query_processing.h:446-492``: phrase
+queries filter offsets by matched positions first). The offsets are byte
+spans into the LOWERED content; the token alphabet is ASCII so they map
+1:1 onto the original content, which is what gets wrapped.
+
+The standalone ``highlight()`` operator recomputes offsets from the
+content (for use without an index); ``SegmentIndex.search(...,
+return_snippets=True)`` feeds stored offsets through the same scorer.
+"""
 
 from __future__ import annotations
 
+import math
 import re
 from collections.abc import Iterator
 
@@ -18,28 +32,92 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from wiser_spark.functions.tokenize import tokenize_text
+# reference highlighter.h:437-450 (Lucene's average passage length)
+PASSAGE_PIVOT = 87.0
+PASSAGE_K1 = 1.2
+PASSAGE_B = 0.75
 
 HIGHLIGHT_SCHEMA = "doc_id long, snippet string"
 
-
-def _passages(content: str) -> list[str]:
-    parts = re.split(r"(?<=[.!?])\s+|\n+", content)
-    return [p for p in parts if p.strip()]
+_SENT_BREAK = re.compile(r"(?<=[.!?])\s+|\n+")
 
 
-def _highlight_one(content: str, terms: set[str], n_passages: int) -> str:
-    scored = []
-    for i, p in enumerate(_passages(content)):
-        hits = sum(1 for t in set(tokenize_text(p)) if t in terms)
-        if hits:
-            scored.append((-hits, i, p))
-    scored.sort()
-    chosen = [p for _, _, p in scored[:n_passages]]
-    pattern = re.compile(
-        r"(?i)\b(" + "|".join(re.escape(t) for t in sorted(terms)) + r")\b"
+def passage_spans(content: str) -> list[tuple[int, int]]:
+    """Sentence-broken passage [start, end) spans, blanks dropped."""
+    spans, start = [], 0
+    for m in _SENT_BREAK.finditer(content):
+        if m.start() > start:
+            spans.append((start, m.start()))
+        start = m.end()
+    if start < len(content):
+        spans.append((start, len(content)))
+    return [(s, e) for s, e in spans if content[s:e].strip()]
+
+
+def _passage_norm(start: int) -> float:
+    return 1.0 + 1.0 / math.log(PASSAGE_PIVOT + start)
+
+
+def _tf_norm(freq: int, passage_len: int) -> float:
+    norm = PASSAGE_K1 * (
+        (1.0 - PASSAGE_B) + PASSAGE_B * (passage_len / PASSAGE_PIVOT)
     )
-    return "…".join(pattern.sub(r"<b>\1</b>", p) for p in chosen)
+    return freq / (freq + norm)
+
+
+def highlight_doc(
+    content: str, per_term_offsets: list[list[int]], n_passages: int = 3
+) -> str:
+    """Score passages from per-term flat [s,e,...] match offsets; return
+    the top-``n_passages`` passages (document order) with every match
+    wrapped in <b>...</b>, joined by an ellipsis."""
+    passages = passage_spans(content)
+    scored = []
+    for ps, pe in passages:
+        score, hit = 0.0, False
+        for offs in per_term_offsets:
+            tf = sum(
+                1
+                for i in range(0, len(offs), 2)
+                if ps <= offs[i] and offs[i + 1] <= pe
+            )
+            if tf:
+                score += _tf_norm(tf, pe - ps)
+                hit = True
+        if hit:
+            scored.append((-score * _passage_norm(ps), ps, pe))
+    scored.sort()
+    chosen = sorted((ps, pe) for _, ps, pe in scored[:n_passages])
+    all_pairs = sorted(
+        (offs[i], offs[i + 1])
+        for offs in per_term_offsets
+        for i in range(0, len(offs), 2)
+    )
+    out = []
+    for ps, pe in chosen:
+        buf, cur = [], ps
+        for s, e in all_pairs:
+            if s < ps or e > pe or s < cur:
+                continue
+            buf.append(content[cur:s])
+            buf.append("<b>" + content[s:e] + "</b>")
+            cur = e
+        buf.append(content[cur:pe])
+        out.append("".join(buf))
+    return "…".join(out)
+
+
+def _find_offsets(content: str, terms: list[str]) -> list[list[int]]:
+    """Per-term flat [s,e,...] occurrence offsets by re-tokenization —
+    the no-index path (token = maximal [a-z0-9_] run, exactly the
+    engine tokenizer)."""
+    low = content.lower()
+    per_term: dict[str, list[int]] = {t: [] for t in terms}
+    for m in re.finditer(r"[a-z0-9_]+", low):
+        tok = m.group()
+        if tok in per_term:
+            per_term[tok].extend((m.start(), m.end()))
+    return [per_term[t] for t in terms]
 
 
 def highlight(
@@ -51,8 +129,8 @@ def highlight(
 ) -> DataFrame:
     """(doc_id, snippet) for every doc in ``topk`` — the join pulls only
     the k result docs' content (broadcast the k-row side), then an Arrow
-    batch UDF builds snippets."""
-    term_set = {t.lower() for t in terms}
+    batch UDF scores passages and wraps matches."""
+    terms_l = [t.lower() for t in terms]
     hits = docs.join(
         F.broadcast(topk.select("doc_id")), "doc_id"
     ).select("doc_id", content_col)
@@ -63,7 +141,7 @@ def highlight(
                 {
                     "doc_id": pdf["doc_id"],
                     "snippet": [
-                        _highlight_one(c, term_set, n_passages)
+                        highlight_doc(c, _find_offsets(c, terms_l), n_passages)
                         for c in pdf[content_col]
                     ],
                 }

@@ -353,14 +353,43 @@ class SegmentIndex:
             else spark.read.parquet(f"{index_dir}/docstats").cache()
         )
 
+    def doc_freqs(self, terms: list[str]) -> list[int]:
+        """Global df per query term, 0 for absent terms — the reference's
+        ``SearchResult.doc_freqs`` contract (``types.h:259-346``)."""
+        rows = (
+            self.dictionary.filter(F.col("term").isin(list(set(terms)))).collect()
+        )
+        m = {r["term"]: int(r["df"]) for r in rows}
+        return [m.get(t, 0) for t in terms]
+
     def search(
-        self, terms: list[str], k: int = 10, is_phrase: bool = False
+        self,
+        terms: list[str],
+        k: int = 10,
+        is_phrase: bool = False,
+        return_snippets: bool = False,
+        docs: DataFrame | None = None,
+        n_passages: int = 3,
+        content_col: str = "content",
     ) -> DataFrame:
         """Top-k (rank, doc_id, score) — decode + intersect + score runs
         per shard in an Arrow-batched pandas UDF; a k-row result per shard
-        is merged by a tiny global top-k (TakeOrderedAndProject)."""
+        is merged by a tiny global top-k (TakeOrderedAndProject).
+
+        With ``return_snippets=True`` (requires ``docs`` = the content
+        table) the result gains a ``snippet`` column: the shard UDF also
+        emits each top doc's MATCHED offset pairs per term — all
+        occurrences for term queries, position-filtered for phrases
+        (reference ``query_processing.h:446-492``) — and the k result
+        docs' content (broadcast join) is passage-scored with the
+        reference's BM25-like highlighter (``highlighter.h:437-450``)."""
         spark = self.spark
-        empty = spark.createDataFrame([], "rank int, doc_id long, score double")
+        out_schema = "rank int, doc_id long, score double"
+        if return_snippets:
+            if docs is None:
+                raise ValueError("return_snippets requires the docs table")
+            out_schema += ", snippet string"
+        empty = spark.createDataFrame([], out_schema)
         if not terms:
             return empty
         # global df per query term (broadcast-sized: len(terms) rows)
@@ -390,9 +419,12 @@ class SegmentIndex:
             "shard_id", "term", "df_shard", "docids_blob", "tfs_blob",
             "skip_predocs", "skip_docid_offs", "skip_tf_offs",
         ]
+        need_off = bool(return_snippets)
         if need_pos:  # positions read ONLY for phrase queries (the
             # sentinel's lossy bytes live in tfs_blob, always read)
             seg_cols += ["pos_blob", "skip_pos_offs"]
+        if need_off:  # offsets read ONLY when snippets are requested
+            seg_cols += ["off_blob", "skip_off_offs"]
         wanted = terms_l + ([""] if has_sentinel else [])
         if need_pos and has_sentinel:
             # phrase bloom rows (pruning-only) for all but the last term
@@ -407,8 +439,11 @@ class SegmentIndex:
         )
 
         def score_shard(seg_pdf: pd.DataFrame, len_pdf: pd.DataFrame | None) -> pd.DataFrame:
-            out_empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                                      "score": pd.Series(dtype="float64")})
+            out_cols = {"doc_id": pd.Series(dtype="int64"),
+                        "score": pd.Series(dtype="float64")}
+            if need_off:
+                out_cols["offs"] = pd.Series(dtype="object")
+            out_empty = pd.DataFrame(out_cols)
             # a term may have several segment rows in a shard (streaming
             # delta generations / size-capped splits); doc ranges are
             # disjoint, so decode each and concatenate in docID order
@@ -426,7 +461,9 @@ class SegmentIndex:
             decoded = {}
             for t in set(terms_l):
                 parts = [
-                    decode_segment_row(r, with_positions=need_pos)
+                    decode_segment_row(
+                        r, with_positions=need_pos, with_offsets=need_off
+                    )
                     for r in rows_by_term[t]
                 ]
                 parts.sort(key=lambda p: int(p[0][0]))
@@ -435,7 +472,10 @@ class SegmentIndex:
                 plists = (
                     [pl for p in parts for pl in p[2]] if need_pos else None
                 )
-                decoded[t] = (ids, tfs, plists)
+                olists = (
+                    [ol for p in parts for ol in p[3]] if need_off else None
+                )
+                decoded[t] = (ids, tfs, plists, olists)
             # k-way conjunction, smallest list first (zig-zag analogue)
             cand = None
             for t in sorted(set(terms_l), key=lambda t: decoded[t][0].size):
@@ -467,6 +507,8 @@ class SegmentIndex:
                     cand = cand[(blooms[at] & qb) == qb]
                     if cand.size == 0:
                         return out_empty
+            phrase_surv = None
+            cand_pre = cand
             if need_pos:
                 # fully vectorized adjusted-position intersect: one key
                 # per (candidate, position) as cand_idx * 2^32 + (pos - i
@@ -475,7 +517,7 @@ class SegmentIndex:
                 n_terms = len(terms_l)
                 key_sets = []
                 for i, t in enumerate(terms_l):
-                    ids, tfs, plists = decoded[t]
+                    ids, tfs, plists, _ = decoded[t]
                     at = np.searchsorted(ids, cand)
                     cand_tfs = tfs[at]
                     # gather candidate docs' positions from the flat lists
@@ -484,6 +526,12 @@ class SegmentIndex:
                         if at.size
                         else np.zeros(0, dtype=np.int64)
                     )
+                    if pos_cat.size:
+                        # key packing safety: positions must fit 32 bits
+                        # (ADVICE: a pos >= 2^31 would corrupt keys)
+                        assert int(pos_cat.max()) < 2**31 - n_terms, (
+                            "token position overflows the packed key"
+                        )
                     owner = np.repeat(np.arange(cand.size, dtype=np.int64), cand_tfs)
                     keys = (owner << np.int64(32)) | (
                         pos_cat.astype(np.int64) - i + n_terms
@@ -495,6 +543,7 @@ class SegmentIndex:
                     surv = surv[np.isin(surv, ks)]
                     if surv.size == 0:
                         return out_empty
+                phrase_surv = surv
                 cand = cand[np.unique(surv >> np.int64(32))]
             # vectorized BM25 over the shard's candidates
             if sentinel_rows is not None:
@@ -508,26 +557,84 @@ class SegmentIndex:
                 codes = len_by_doc.reindex(cand).to_numpy(dtype=np.int64) & 0xFF
             scores = np.zeros(cand.size, dtype=np.float64)
             for i, t in enumerate(terms_l):
-                ids, tfs, _ = decoded[t]
+                ids, tfs, _, _ = decoded[t]
                 tf = tfs[np.searchsorted(ids, cand)].astype(np.float64)
                 scores += idfs[t] * ((tf * (k1 + 1.0)) / (tf + cache[codes]))
             order = np.lexsort((cand, -scores))[:k]
-            return pd.DataFrame({"doc_id": cand[order], "score": scores[order]})
+            out = {"doc_id": cand[order], "score": scores[order]}
+            if need_off:
+                # matched offsets for the <= k shard-local winners only
+                # (per-doc Python over k docs — never over candidates):
+                # ExpandOffsets for term queries; FilterOffsetByPosition
+                # for phrases (query_processing.h:446-492)
+                n_terms = len(terms_l)
+                offs_col = []
+                for doc in out["doc_id"]:
+                    per_term = []
+                    for i, t in enumerate(terms_l):
+                        ids, tfs, plists, olists = decoded[t]
+                        at = int(np.searchsorted(ids, doc))
+                        o = np.asarray(olists[at], dtype=np.int64)
+                        if phrase_surv is not None and n_terms > 1:
+                            ci = int(np.searchsorted(cand_pre, doc))
+                            mine = phrase_surv[
+                                (phrase_surv >> np.int64(32)) == ci
+                            ]
+                            pos_i = np.unique(
+                                (mine & np.int64(0xFFFFFFFF)) + i - n_terms
+                            )
+                            j = np.searchsorted(plists[at], pos_i)
+                            pairs = np.stack(
+                                [o[2 * j], o[2 * j + 1]], axis=1
+                            ).ravel()
+                            per_term.append(pairs.tolist())
+                        else:
+                            per_term.append(o.tolist())
+                    offs_col.append(per_term)
+                out["offs"] = offs_col
+            return pd.DataFrame(out)
 
+        shard_schema = "doc_id long, score double"
+        if need_off:
+            shard_schema += ", offs array<array<long>>"
         if has_sentinel:
             per_shard = seg.groupBy("shard_id").applyInPandas(
-                lambda sp: score_shard(sp, None), "doc_id long, score double"
+                lambda sp: score_shard(sp, None), shard_schema
             )
         else:
             per_shard = seg.groupBy("shard_id").cogroup(
                 doclens.groupBy("shard_id")
             ).applyInPandas(
-                lambda sp, lp: score_shard(sp, lp), "doc_id long, score double"
+                lambda sp, lp: score_shard(sp, lp), shard_schema
             )
         top = per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         from pyspark.sql import Window
 
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-        return top.withColumn("rank", F.row_number().over(w)).select(
-            "rank", "doc_id", "score"
+        ranked = top.withColumn("rank", F.row_number().over(w))
+        if not return_snippets:
+            return ranked.select("rank", "doc_id", "score")
+
+        from wiser_spark.operators.highlight import highlight_doc
+
+        hits = docs.select("doc_id", F.col(content_col).alias("content")).join(
+            F.broadcast(ranked), "doc_id"
         )
+
+        def mk_snippets(batches):
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "rank": pdf["rank"],
+                        "doc_id": pdf["doc_id"],
+                        "score": pdf["score"],
+                        "snippet": [
+                            highlight_doc(
+                                c, [list(o) for o in offs], n_passages
+                            )
+                            for c, offs in zip(pdf["content"], pdf["offs"])
+                        ],
+                    }
+                )
+
+        return hits.mapInPandas(mk_snippets, out_schema).orderBy("rank")

@@ -87,6 +87,17 @@ def corpus_stats_sql() -> str:
     )
 
 
+def doc_freqs_sql(terms: list[str]) -> str:
+    """df per query term, 0 for terms absent from the corpus — the
+    SearchResult.doc_freqs contract."""
+    vals = ", ".join("('" + t.replace("'", "''") + "')" for t in terms)
+    return f"""
+WITH {_BASE}, q(term) AS (VALUES {vals})
+SELECT q.term, coalesce(d.df, 0)::INT AS df
+FROM q LEFT JOIN dict d USING (term)
+"""
+
+
 def bm25_topk_sql(
     terms: list[str],
     k: int = 10,
