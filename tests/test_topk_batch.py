@@ -50,3 +50,37 @@ def test_batch_equals_oracle_per_query(spark):
         assert [d for d, _ in have] == [d for d, _ in want], f"query {qid}"
         for (_, s_have), (_, s_want) in zip(have, want):
             assert s_have == pytest.approx(s_want, rel=1e-12)
+
+
+def test_batch_topk_is_two_phase(spark):
+    """Skew gate: every window over query_id ALONE must be fed by the
+    salted local top-k (bounded <= k*n_salts rows per query) — no
+    full-sort window over an unbounded single-query partition."""
+    docs = assign_doc_ids(corpus_df(spark, N), n_partitions=4)
+    postings = build_postings(docs)
+    docstats = build_docstats(docs)
+    df = bm25_topk_batch(
+        postings, docstats, build_dictionary(postings), corpus_stats(docstats),
+        [(0, ["return"], False)], k=10, params=PARAMS,
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # only the query windows (docID assignment has its own, unrelated)
+    win_lines = [
+        ln for ln in plan.splitlines()
+        if ln.strip().startswith(("Window [", "+- Window ["))
+        and "query_id" in ln
+    ]
+    assert len(win_lines) == 2, win_lines  # local (salted) + global
+    local = [ln for ln in win_lines if "salt" in ln]
+    assert len(local) == 1, win_lines
+    # the global window appears ABOVE the salted one in the tree (it
+    # consumes the salted output, never the raw match set)
+    assert plan.index(local[0]) > plan.index(
+        [ln for ln in win_lines if "salt" not in ln][0]
+    )
+    # Catalyst additionally pushes the rank<=k filters down as
+    # WindowGroupLimit (partial per-partition top-k before any sort) —
+    # the salted one is the skew protection proper
+    assert any(
+        "WindowGroupLimit" in ln and "salt" in ln for ln in plan.splitlines()
+    ), plan

@@ -177,10 +177,27 @@ def bm25_topk_batch(
                 F.col(f"tf_{i}"), F.col("doclen_lossy"), stats.avgdl, params
             )
             score = contrib if score is None else score + contrib
+        # TWO-PHASE top-k (the skew fix): a window partitioned on
+        # query_id alone funnels every match of a high-df query through
+        # ONE partition's sort. Phase 1 ranks within (query_id, salt) —
+        # a hot query spreads over n_salts partitions, each emitting at
+        # most k rows — so the phase-2 query_id window sorts <= k*n_salts
+        # rows per query instead of the full match set. Same result:
+        # the global top-k is contained in the union of per-salt top-k,
+        # and both phases share the (score desc, doc_id asc) tie order.
+        n_salts = 16
+        w_local = Window.partitionBy("query_id", "salt").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-        results.append(
+        pre = (
             scored.select("query_id", "doc_id", score.alias("score"))
-            .withColumn("rank", F.row_number().over(w))
+            .withColumn("salt", F.pmod(F.col("doc_id"), F.lit(n_salts)).cast("int"))
+            .withColumn("lrank", F.row_number().over(w_local))
+            .filter(F.col("lrank") <= k)
+        )
+        results.append(
+            pre.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "doc_id", "score")
         )
