@@ -223,24 +223,44 @@ def _q_ann_cosine_topk(spark, sf_dir):
 
 
 def _q_embedding_sim_pairs(spark, sf_dir):
-    """Embedding near-dup pairs within sign-LSH buckets (cosine >= 0.3;
-    the blocking bounds the quadratic pair comparison per bucket)."""
+    """Embedding near-dup pairs via multi-table sign-LSH blocking
+    (cosine >= 0.3; pairs deduped across tables before the verify)."""
     from wiser_spark.operators.similarity import embedding_near_dup_pairs
 
     out = embedding_near_dup_pairs(
-        _embeddings(spark, sf_dir), threshold=0.3, n_planes=6
+        _embeddings(spark, sf_dir), threshold=0.3, n_planes=8, n_tables=2
     )
     return out.select(
         "vec_a", "vec_b", F.round("cosine", 6).alias("cosine")
     )
 
 
-def _q_ann_lsh_topk(spark, sf_dir):
-    from wiser_spark.operators.similarity import lsh_topk
+_LSH_IDX_CACHE: dict[str, str] = {}
 
-    return lsh_topk(
-        _embeddings(spark, sf_dir), _query_vec(spark, sf_dir), k=10, n_planes=6
-    )
+
+def _lsh_index(spark, sf_dir, n_planes=8, n_tables=2):
+    import hashlib
+    import tempfile
+
+    from wiser_spark.operators.similarity import write_lsh_index
+
+    if sf_dir not in _LSH_IDX_CACHE:
+        tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+        d = f"{tempfile.gettempdir()}/wiser_lsh_idx_{tag}"
+        write_lsh_index(
+            _embeddings(spark, sf_dir), d, n_planes=n_planes, n_tables=n_tables
+        )
+        _LSH_IDX_CACHE[sf_dir] = d
+    return _LSH_IDX_CACHE[sf_dir]
+
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    """ANN top-k over the PERSISTED multi-table LSH index — the probe is
+    a (tbl, bucket) partition-pruned scan, not a full rehash."""
+    from wiser_spark.operators.similarity import lsh_topk_indexed
+
+    d = _lsh_index(spark, sf_dir)
+    return lsh_topk_indexed(spark, d, _query_vec(spark, sf_dir), k=10)
 
 
 _MAPSIDE_IDX_CACHE: dict[str, str] = {}
@@ -400,9 +420,11 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": csql.quality_score_sql(),
         "text_fingerprint": csql.fingerprint_sql(k=5),
         "ann_cosine_topk": csql.cosine_topk_sql(query_vec_id=0, k=10),
-        "ann_lsh_topk": csql.lsh_topk_sql(query_vec_id=0, k=10, n_planes=6),
+        "ann_lsh_topk": csql.lsh_topk_sql(
+            query_vec_id=0, k=10, n_planes=8, n_tables=2
+        ),
         "embedding_sim_pairs": csql.embedding_sim_pairs_sql(
-            threshold=0.3, n_planes=6
+            threshold=0.3, n_planes=8, n_tables=2
         ),
         "events_windowed": """
 SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,

@@ -6,12 +6,17 @@ Two paths over the ``embeddings`` table (vec_id, embedding, label):
                  dot products (no Python, no shuffle beyond the final
                  TakeOrderedAndProject)
   sign-LSH (ANN) deterministic hyperplanes (md5-seeded), vectors bucketed
-                 by their sign pattern; a query probes only its bucket —
-                 the scale path: buckets are the partition key, the scan
-                 prunes to one bucket
+                 by sign pattern across N_TABLES independent tables
+                 (OR-construction for recall). write_lsh_index persists
+                 the buckets PARTITIONED BY (tbl, bucket); a query probes
+                 its n_tables buckets via partition pruning
+                 (lsh_topk_indexed) — never a full scan+rehash.
+                 lsh_topk remains the ad-hoc single-table variant for
+                 index-less use.
 
 At 100 TB the brute-force path stays linear-per-query but embarrassingly
-parallel (no shuffle); the LSH path turns it into an O(bucket) probe.
+parallel (no shuffle); the persisted LSH path is an O(bucket) probe with
+bits ~ log2(N) so bucket sizes stay bounded as the corpus grows.
 """
 
 from __future__ import annotations
@@ -113,23 +118,133 @@ def lsh_topk(
     )
 
 
-def embedding_near_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.98, n_planes: int = 6
-) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH blocking:
-    (vec_a, vec_b, cosine >= threshold). Pairs are only compared within a
-    bucket — the quadratic blowup is bounded per bucket."""
-    dim = int(embeddings.select(F.size("embedding")).first()[0])
-    planes = [hyperplane(p, dim) for p in range(n_planes)]
+def table_planes(n_planes: int, n_tables: int, dim: int) -> list[list[list[float]]]:
+    """Independent hyperplane sets per OR-table: table t uses plane ids
+    t*n_planes .. t*n_planes+n_planes-1 (so n_tables=1 reproduces the
+    single-table layout). More planes => smaller buckets (bits should
+    grow ~log2 N); more tables => recall (a near pair only needs to
+    collide in ONE table)."""
+    return [
+        [hyperplane(t * n_planes + p, dim) for p in range(n_planes)]
+        for t in range(n_tables)
+    ]
+
+
+def _bucketed(embeddings: DataFrame, planes_per_table) -> DataFrame:
+    """(vec_id, emb, tbl, bucket) — ONE scan computes every table's
+    bucket (posexplode of the bucket array), n_tables rows per vector."""
     emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    b = embeddings.select(
-        "vec_id", emb.alias("emb"), lsh_bucket_col(emb, planes).alias("bucket")
+    buckets = F.array(*[lsh_bucket_col(emb, pl) for pl in planes_per_table])
+    return embeddings.select(
+        "vec_id", emb.alias("emb"), F.posexplode(buckets).alias("tbl", "bucket")
     )
-    left = b.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"), "bucket")
-    right = b.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"), "bucket")
-    return (
-        left.join(right, "bucket")
+
+
+def write_lsh_index(
+    embeddings: DataFrame,
+    index_dir: str,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    dim: int | None = None,
+) -> None:
+    """Persist the multi-table sign-LSH index: parquet PARTITIONED BY
+    (tbl, bucket), so a query probes its n_tables buckets through
+    partition pruning instead of rescanning and re-hashing every vector.
+    This is the scale path the round-1 query-time variant lacked."""
+    import json
+    import os
+
+    if dim is None:
+        dim = int(embeddings.select(F.size("embedding")).first()[0])
+    b = _bucketed(embeddings, table_planes(n_planes, n_tables, dim))
+    b.write.mode("overwrite").partitionBy("tbl", "bucket").parquet(
+        f"{index_dir}/buckets"
+    )
+    os.makedirs(index_dir, exist_ok=True)
+    with open(f"{index_dir}/lsh.json", "w") as f:
+        json.dump({"n_planes": n_planes, "n_tables": n_tables, "dim": dim}, f)
+
+
+def query_buckets(query_vec: list[float], planes_per_table) -> list[int]:
+    """The query's bucket id in each table (driver-side, tiny)."""
+    import numpy as np
+
+    out = []
+    for planes in planes_per_table:
+        qb = 0
+        for p, plane in enumerate(planes):
+            if float(np.dot(query_vec, plane)) >= 0:
+                qb |= 1 << p
+        out.append(qb)
+    return out
+
+
+def lsh_topk_indexed(
+    spark, index_dir: str, query_vec: list[float], k: int = 10
+) -> DataFrame:
+    """ANN top-k over the PERSISTED index: (rank, vec_id, cosine).
+
+    The (tbl, bucket) filter is a pure partition predicate — the scan
+    touches only the n_tables probed buckets (verified by the
+    partition-pruning plan audit in tests). Union of tables, distinct
+    vec_id, exact cosine on the survivors."""
+    import json
+
+    with open(f"{index_dir}/lsh.json") as f:
+        meta = json.load(f)
+    planes_pt = table_planes(meta["n_planes"], meta["n_tables"], meta["dim"])
+    qbs = query_buckets(query_vec, planes_pt)
+    probe = None
+    for t, qb in enumerate(qbs):
+        p = (F.col("tbl") == t) & (F.col("bucket") == qb)
+        probe = p if probe is None else probe | p
+    cand = (
+        spark.read.parquet(f"{index_dir}/buckets")
+        .filter(probe)
+        .select("vec_id", "emb")
+        .dropDuplicates(["vec_id"])
+    )
+    q = F.array(*[F.lit(float(v)).cast("double") for v in query_vec])
+    scored = cand.select("vec_id", cosine_col(F.col("emb"), q).alias("cosine"))
+    top = scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "vec_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.98,
+    n_planes: int = 8,
+    n_tables: int = 2,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via multi-table LSH blocking:
+    (vec_a, vec_b, cosine >= threshold). Pairs are compared only within
+    a (table, bucket) block — per-block cost is quadratic in the BLOCK
+    (n_planes sizes the blocks, grow it with log2 N), and the OR over
+    n_tables independent tables recovers the recall that smaller blocks
+    cost. Duplicate pair hits across tables collapse BEFORE the cosine
+    (distinct on ids, candidate-driven verify)."""
+    dim = int(embeddings.select(F.size("embedding")).first()[0])
+    b = _bucketed(embeddings, table_planes(n_planes, n_tables, dim))
+    ids = b.select("vec_id", "tbl", "bucket")
+    left = ids.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
+    right = ids.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket")
+    cand = (
+        left.join(right, ["tbl", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    vecs = b.select("vec_id", "emb").dropDuplicates(["vec_id"])
+    return (
+        cand.join(vecs.select(F.col("vec_id").alias("vec_a"),
+                              F.col("emb").alias("ea")), "vec_a")
+        .join(vecs.select(F.col("vec_id").alias("vec_b"),
+                          F.col("emb").alias("eb")), "vec_b")
         .select(
             "vec_a", "vec_b", cosine_col(F.col("ea"), F.col("eb")).alias("cosine")
         )

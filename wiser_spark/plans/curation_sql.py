@@ -267,56 +267,75 @@ FROM scored ORDER BY cosine DESC, vec_id LIMIT {k}
 """
 
 
-def embedding_sim_pairs_sql(
-    threshold: float = 0.3, n_planes: int = 6, dim: int = 64
-) -> str:
-    """Same-bucket embedding pairs above a cosine threshold."""
-    from wiser_spark.operators.similarity import hyperplane
-
-    planes = [hyperplane(p, dim) for p in range(n_planes)]
-    bucket_terms = " + ".join(
-        "(CASE WHEN list_dot_product(e.embedding::DOUBLE[], ["
+def _bucket_expr(planes: list[list[float]], rel: str = "e") -> str:
+    """Sign-pattern bucket id as SQL; hyperplanes injected as repr'd
+    literals — byte-identical doubles to similarity.hyperplane()."""
+    return " + ".join(
+        f"(CASE WHEN list_dot_product({rel}.embedding::DOUBLE[], ["
         + ", ".join(repr(v) for v in plane)
         + f"]) >= 0 THEN {1 << p} ELSE 0 END)"
         for p, plane in enumerate(planes)
     )
+
+
+def _bucketed_cte(n_planes: int, n_tables: int, dim: int) -> str:
+    """bucketed(vec_id, embedding, tbl, bucket) — one row per (vector,
+    table), mirror of similarity._bucketed()."""
+    from wiser_spark.operators.similarity import table_planes
+
+    per_table = " UNION ALL ".join(
+        f"SELECT e.vec_id, e.embedding, {t} AS tbl, "
+        f"{_bucket_expr(planes)} AS bucket FROM embeddings e"
+        for t, planes in enumerate(table_planes(n_planes, n_tables, dim))
+    )
+    return f"bucketed AS ({per_table})"
+
+
+def embedding_sim_pairs_sql(
+    threshold: float = 0.3, n_planes: int = 8, n_tables: int = 2, dim: int = 64
+) -> str:
+    """Multi-table same-bucket embedding pairs above a cosine threshold
+    (pairs deduped across tables BEFORE the cosine, like the Spark side)."""
     cos = (
         "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
         "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
         "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
     )
     return f"""
-WITH bucketed AS (
-  SELECT e.vec_id, e.embedding, {bucket_terms} AS bucket FROM embeddings e
+WITH {_bucketed_cte(n_planes, n_tables, dim)},
+cand AS (
+  SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+  FROM bucketed l JOIN bucketed r USING (tbl, bucket)
+  WHERE l.vec_id < r.vec_id
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({cos}, 6) AS cosine
-FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+SELECT c.vec_a, c.vec_b, round({cos}, 6) AS cosine
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.vec_a
+JOIN embeddings b ON b.vec_id = c.vec_b
 WHERE {cos} >= {threshold!r}
 """
 
 
 def lsh_topk_sql(
-    query_vec_id: int = 0, k: int = 10, n_planes: int = 6, dim: int = 64
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    dim: int = 64,
 ) -> str:
-    """Hyperplanes are injected as repr'd literals — byte-identical
-    doubles to similarity.hyperplane()'s output on the Spark side."""
-    from wiser_spark.operators.similarity import hyperplane
-
-    planes = [hyperplane(p, dim) for p in range(n_planes)]
-    bucket_terms = " + ".join(
-        "(CASE WHEN list_dot_product(e.embedding::DOUBLE[], ["
-        + ", ".join(repr(v) for v in plane)
-        + f"]) >= 0 THEN {1 << p} ELSE 0 END)"
-        for p, plane in enumerate(planes)
-    )
+    """Multi-table probe: candidates = vectors sharing the query's
+    bucket in ANY table (distinct), then exact cosine top-k."""
     return f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id}),
-bucketed AS (SELECT e.vec_id, e.embedding, {bucket_terms} AS bucket
-             FROM embeddings e),
-qb AS (SELECT b.bucket AS qb FROM bucketed b WHERE b.vec_id = {query_vec_id}),
+{_bucketed_cte(n_planes, n_tables, dim)},
+qb AS (SELECT tbl, bucket FROM bucketed WHERE vec_id = {query_vec_id}),
+cand AS (
+  SELECT DISTINCT b.vec_id
+  FROM bucketed b JOIN qb USING (tbl, bucket)
+),
 scored AS (
   SELECT e.vec_id, {_COS} AS cosine
-  FROM bucketed e, q, qb WHERE e.bucket = qb.qb
+  FROM embeddings e JOIN cand USING (vec_id), q
 )
 SELECT row_number() OVER (ORDER BY cosine DESC, vec_id)::INT AS rank,
        vec_id, round(cosine, 6) AS cosine
