@@ -117,6 +117,59 @@ def main() -> None:
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
 
+    # ---- the SCALE build path (zero-shuffle map-side) at the same SF,
+    # reported separately so the classic suite total stays comparable
+    # round-over-round
+    from wiser_spark.operators.mapside import write_index_mapside
+
+    extras: dict[str, float] = {}
+    d2 = tempfile.mkdtemp(prefix="wiser_bench_idx_v2_")
+    try:
+        t0 = time.perf_counter()
+        write_index_mapside(docs, d2, IndexConfig(bm25=PARAMS, n_shards=cpus))
+        extras["index_build_mapside"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(d2, ignore_errors=True)
+
+    # ---- sf1.0-equivalent corpus (10x replication, varied tail token):
+    # 5k docs is fixed-overhead noise; 50k gives round-over-round signal
+    from pyspark.sql import functions as FF
+
+    big = (
+        docs.select(
+            "doc_id", "content",
+            FF.explode(FF.sequence(FF.lit(0), FF.lit(9))).alias("rep"),
+        )
+        .select(
+            (FF.col("doc_id") * 10 + FF.col("rep")).alias("doc_id"),
+            FF.concat(
+                FF.col("content"), FF.lit(" rep"), FF.col("rep").cast("string")
+            ).alias("content"),
+        )
+        .repartition(cpus)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sf1_n = big.count()
+    d3 = tempfile.mkdtemp(prefix="wiser_bench_idx_sf1_")
+    sf1: dict[str, float] = {}
+    try:
+        t0 = time.perf_counter()
+        write_index_mapside(
+            big, d3, IndexConfig(bm25=PARAMS, n_shards=cpus),
+            reuse_partitions=True,
+        )
+        sf1["build"] = round(time.perf_counter() - t0, 3)
+        idx1 = SegmentIndex(spark, d3)
+        for qname, (terms, is_phrase) in (
+            ("and2", (["dup", "key"], False)),
+            ("phrase2", (["table", "part"], True)),
+        ):
+            t0 = time.perf_counter()
+            idx1.search(terms, k=10, is_phrase=is_phrase).collect()
+            sf1[qname] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(d3, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "index_build_plus_bm25_query_suite",
@@ -126,7 +179,15 @@ def main() -> None:
         "sf": sf,
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / timings["index_build"], 1),
+        "docs_per_sec_mapside": round(
+            n_docs / extras["index_build_mapside"], 1
+        ),
         "batch_qps": batch_qps,
+        "sf1_n_docs": sf1_n,
+        "sf1_build_sec": sf1["build"],
+        "sf1_docs_per_sec": round(sf1_n / sf1["build"], 1),
+        "sf1_query_and2_sec": sf1["and2"],
+        "sf1_query_phrase2_sec": sf1["phrase2"],
         "cpus": cpus,
     }
     print(json.dumps(result))

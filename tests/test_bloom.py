@@ -69,7 +69,24 @@ def test_bloom_index_matches_oracle(spark, both_indexes):
 def test_dictionary_excludes_bloom_and_sentinel_rows(spark, both_indexes):
     d = spark.read.parquet(f"{both_indexes[0]}/dictionary")
     terms = [r["term"] for r in d.collect()]
-    assert all(t and not t.startswith("\x01") for t in terms)
+    assert all(t and not t.startswith(("\x01", "\x02")) for t in terms)
+
+
+def test_begin_bloom_sided_probe(spark, tmp_path):
+    """When the FIRST term's posting list is the larger one, the sided
+    rule probes the second term's BEGIN bloom (reference
+    query_processing.h:796-807). Non-adjacent co-occurrence still
+    pruned; true phrase still found."""
+    rows = [(i, "alpha filler words here") for i in range(6)]
+    rows.append((6, "alpha gap rare gap alpha"))       # both, never adjacent
+    rows.append((7, "lead alpha rare trail"))          # true phrase
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    d = str(tmp_path / "idx")
+    write_index_mapside(docs, d, IndexConfig(bm25=PARAMS, n_shards=1))
+    idx = SegmentIndex(spark, d)
+    # df(alpha)=8 > df(rare)=2 in the single shard => begin side probed
+    got = idx.search(["alpha", "rare"], k=10, is_phrase=True).collect()
+    assert [r["doc_id"] for r in got] == [7]
 
 
 def test_nonadjacent_cooccurrence_pruned(spark, tmp_path):

@@ -24,9 +24,11 @@ def spec_encode(val: int) -> int:
 
 
 def spec_decode(c: int) -> int:
+    # the reference computes in uint32, so large shifts WRAP:
+    # Char4ToUint(240) == 0 (pinned by reference tests_8.cc)
     bits = c & 0x07
     shift = ((c & 0xFF) >> 3) - 1
-    return bits if shift == -1 else (bits | 0x08) << shift
+    return bits if shift == -1 else ((bits | 0x08) << shift) & 0xFFFFFFFF
 
 
 @pytest.mark.parametrize(

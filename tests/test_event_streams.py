@@ -72,7 +72,44 @@ def test_stateful_sessionizer_matches_batch_closed_sessions(spark, tmp_path):
         for r in spark.sql("select * from sessions").collect()
     }
     # the stream emits only CLOSED sessions (the final open session per
-    # user stays in state) — emitted ones must match the batch answer
-    assert len(got) == 3  # session 0 closed for each user
+    # user stays in state until the watermark passes it) — emitted ones
+    # must match the batch answer
+    assert len(got) >= 3  # session 0 closed for each user
     for key, v in got.items():
         assert want[key] == v
+
+
+def test_idle_session_flushed_by_event_time_timeout(spark, tmp_path):
+    """A lone trailing session must be emitted WITHOUT a successor event
+    from the same user: the event-time timeout closes it once the
+    watermark (advanced by OTHER users' events) passes end + gap."""
+    base = dt.datetime(2024, 1, 1)
+    early = [
+        (i, base + dt.timedelta(minutes=5 * i), 0, "view", 1.0)
+        for i in range(3)
+    ]  # user 0: one burst, then silence forever
+    late = [(99, base + dt.timedelta(minutes=300), 1, "view", 2.0)]
+    in_dir = tmp_path / "in"
+    spark.createDataFrame(early, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(in_dir))
+    spark.createDataFrame(late, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(in_dir))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = (
+        sessionize_streaming(stream, gap_minutes=30)
+        .writeStream.format("memory").queryName("idle_sessions")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt")).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_id"]): r["n_events"]
+        for r in spark.sql("select * from idle_sessions").collect()
+    }
+    assert got.get((0, 0)) == 3, got  # flushed by timeout, not by an event

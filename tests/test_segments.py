@@ -71,7 +71,7 @@ def test_segment_offsets_roundtrip(spark):
     span extracts its exact token from the lowered content."""
     from wiser_spark.operators.mapside import build_segments_mapside
     from wiser_spark.operators.postings import build_postings_arrow
-    from wiser_spark.operators.segments import BLOOM_PREFIX, DOCLEN_TERM
+    from wiser_spark.operators.segments import BLOOM_PREFIXES, DOCLEN_TERM
 
     docs = assign_doc_ids(corpus_df(spark, 60), n_partitions=2).select(
         "doc_id", "content"
@@ -82,7 +82,7 @@ def test_segment_offsets_roundtrip(spark):
         n_occ = 0
         for r in rows:
             row = r.asDict()
-            if row["term"] == DOCLEN_TERM or row["term"].startswith(BLOOM_PREFIX):
+            if row["term"] == DOCLEN_TERM or row["term"].startswith(BLOOM_PREFIXES):
                 continue
             ids, tfs, _, offs = decode_segment_row(
                 row, with_positions=True, with_offsets=True

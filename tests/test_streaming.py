@@ -55,6 +55,57 @@ def test_stream_stats_match_batch(spark, streamed, oracle):
     assert len(gens) == 2
 
 
+def test_replayed_batch_is_noop(spark, tmp_path):
+    """At-least-once replay of a committed batch must not duplicate rows
+    or shift docIDs (the commit log makes the sink idempotent)."""
+    from wiser_spark.streaming.incremental import IncrementalIndexer
+
+    rows = make_corpus(30)
+    df = spark.createDataFrame(rows, SCHEMA)
+    d = str(tmp_path / "idx")
+    ix = IncrementalIndexer(d, IndexConfig(bm25=PARAMS, n_shards=2))
+    ix.process_batch(df, 0)
+    n1 = spark.read.parquet(f"{d}/docstats").count()
+    ids1 = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{d}/docstats").collect()
+    )
+    ix.process_batch(df, 0)  # replay
+    assert spark.read.parquet(f"{d}/docstats").count() == n1 == 30
+    ix.process_batch(spark.createDataFrame(make_corpus(40)[30:], SCHEMA), 1)
+    ids2 = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{d}/docstats").collect()
+    )
+    # dense continuation: batch 1 starts exactly where batch 0 ended
+    assert ids2 == list(range(40)) and ids1 == list(range(30))
+    idx = SegmentIndex(spark, d)
+    assert idx.stats.n_docs == 40
+    assert idx.search(["return"], k=5).count() > 0
+
+
+def test_staging_leftover_replaced_on_retry(spark, tmp_path):
+    """A crash between publish and commit leaves a half-moved generation;
+    the retry (same batch_id, same docID offset from the commit log)
+    replaces it with identical data."""
+    import json
+    import os
+
+    from wiser_spark.streaming.incremental import IncrementalIndexer
+
+    rows = make_corpus(20)
+    df = spark.createDataFrame(rows, SCHEMA)
+    d = str(tmp_path / "idx")
+    ix = IncrementalIndexer(d, IndexConfig(bm25=PARAMS, n_shards=2))
+    ix.process_batch(df, 0)
+    # simulate the crash: generation published but commit record lost
+    os.remove(f"{d}/commits.json")
+    ix.process_batch(df, 0)  # retry
+    with open(f"{d}/commits.json") as f:
+        assert json.load(f) == {"0": [0, 20]}
+    assert spark.read.parquet(f"{d}/docstats").count() == 20
+    got = sorted(r["doc_id"] for r in spark.read.parquet(f"{d}/docstats").collect())
+    assert got == list(range(20))
+
+
 @pytest.mark.parametrize(
     "terms,is_phrase",
     [(["return"], False), (["return", "import"], False), (["if", "else"], True)],

@@ -38,11 +38,17 @@ def uint_to_char4(values) -> np.ndarray:
 
 
 def char4_to_uint(codes) -> np.ndarray:
-    """Vectorized lossy length decode: uint8 array -> int64 array."""
+    """Vectorized lossy length decode: uint8 array -> int64 array.
+
+    The shift is computed in uint32 like the reference (``utils.h:
+    301-329``), so codes >= 232 WRAP — Char4ToUint(240) == 0, pinned by
+    the reference's tests_8.cc. Unreachable from uint_to_char4 (max
+    emitted byte is 231) but the 256-entry tfnorm cache indexes every
+    byte, so the table must agree at those codes too."""
     c = np.asarray(codes, dtype=np.int64) & 0xFF
     bits = c & 7
     shift = (c >> 3) - 1
-    normal = (bits | 8) << np.maximum(shift, 0)
+    normal = ((bits | 8) << np.maximum(shift, 0)) & 0xFFFFFFFF
     return np.where(shift < 0, bits, normal).astype(np.int64)
 
 

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from wiser_spark.config import IndexConfig
 from wiser_spark.operators.segments import (
+    BLOOM_BEGIN_PREFIX,
     BLOOM_PREFIX,
     DOCLEN_TERM,
     SEGMENT_SCHEMA,
@@ -192,8 +193,10 @@ def build_segments_mapside(
         # next-token code per occurrence (stream is doc-contiguous):
         # feeds the per-posting end blooms (phrase pruning, ref B15/Q8)
         nxt = np.full(codes.size, -1, dtype=np.int64)
+        prv = np.full(codes.size, -1, dtype=np.int64)
         same_doc = docs_rep[1:] == docs_rep[:-1]
         nxt[:-1][same_doc] = codes[1:][same_doc]
+        prv[1:][same_doc] = codes[:-1][same_doc]
         # input stream is doc-ascending with in-doc position order, so a
         # single STABLE sort on the term code yields (term, doc, pos)
         order = np.argsort(codes, kind="stable")
@@ -221,13 +224,19 @@ def build_segments_mapside(
             )
 
             vocab_bits = vocab_bloom_table(uniques)
+            p_starts_idx = np.flatnonzero(new_posting)
             nxt_sorted = nxt[order]
             occ_bits = np.where(
                 nxt_sorted >= 0, vocab_bits[np.maximum(nxt_sorted, 0)], np.uint64(0)
             )
-            posting_blooms = fold_occurrence_blooms(
-                occ_bits, np.flatnonzero(new_posting)
+            posting_blooms = fold_occurrence_blooms(occ_bits, p_starts_idx)
+            # begin blooms: same fold over the PRECEDING-token masks
+            # (reference builds both sides, bloom_filter.h:595-646)
+            prv_sorted = prv[order]
+            occ_bits_b = np.where(
+                prv_sorted >= 0, vocab_bits[np.maximum(prv_sorted, 0)], np.uint64(0)
             )
+            posting_blooms_begin = fold_occurrence_blooms(occ_bits_b, p_starts_idx)
         rows = []
         for t_i in range(len(term_bounds) - 1):
             lo, hi = term_bounds[t_i], term_bounds[t_i + 1]
@@ -247,6 +256,12 @@ def build_segments_mapside(
             if with_blooms:
                 rows.append(
                     bloom_row(shard_id, term, posting_blooms[lo:hi])
+                )
+                rows.append(
+                    bloom_row(
+                        shard_id, term, posting_blooms_begin[lo:hi],
+                        prefix=BLOOM_BEGIN_PREFIX,
+                    )
                 )
         rows.append(
             doclen_sentinel_row(
@@ -316,6 +331,7 @@ def write_index_mapside(
         written.filter(
             (F.col("term") != DOCLEN_TERM)
             & ~F.col("term").startswith(BLOOM_PREFIX)
+            & ~F.col("term").startswith(BLOOM_BEGIN_PREFIX)
         )
         .groupBy("term")
         .agg(F.sum("df_shard").cast("int").alias("df"))

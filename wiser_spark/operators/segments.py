@@ -70,18 +70,24 @@ SEGMENT_SCHEMA = (
 # tokenizer can never emit an empty term, so "" is collision-free
 DOCLEN_TERM = ""
 
-# prefix marking a phrase-bloom row for a term ("\x01" is outside the
-# tokenizer alphabet). The row's tfs_blob packs one 64-bit end bloom per
-# posting, aligned with the term row's docID order (reference stores its
-# bloom boxes as separate regions of the same file, flash_containers.h:499)
-BLOOM_PREFIX = "\x01"
+# prefixes marking phrase-bloom rows for a term ("\x01"/"\x02" are
+# outside the tokenizer alphabet). A row's tfs_blob packs one 64-bit
+# bloom per posting, aligned with the term row's docID order: END blooms
+# hold the tokens FOLLOWING each occurrence, BEGIN blooms the tokens
+# PRECEDING them (the reference builds both, bloom_filter.h:595-646, and
+# stores them as separate regions of the same file, flash_containers.h:499)
+BLOOM_PREFIX = "\x01"        # end blooms
+BLOOM_BEGIN_PREFIX = "\x02"  # begin blooms
+BLOOM_PREFIXES = (BLOOM_PREFIX, BLOOM_BEGIN_PREFIX)
 
 
-def bloom_row(shard_id: int, term: str, blooms) -> dict:
+def bloom_row(
+    shard_id: int, term: str, blooms, prefix: str = BLOOM_PREFIX
+) -> dict:
     blob, offs = encode_column(np.asarray(blooms, dtype=np.uint64))
     return {
         "shard_id": shard_id,
-        "term": BLOOM_PREFIX + term,
+        "term": prefix + term,
         "df_shard": len(blooms),
         "docids_blob": b"",
         "tfs_blob": blob,
@@ -427,8 +433,11 @@ class SegmentIndex:
             seg_cols += ["off_blob", "skip_off_offs"]
         wanted = terms_l + ([""] if has_sentinel else [])
         if need_pos and has_sentinel:
-            # phrase bloom rows (pruning-only) for all but the last term
+            # phrase bloom rows (pruning-only): end blooms for all but
+            # the last term, begin blooms for all but the first (the
+            # sided 2-term choice needs either available)
             wanted += [BLOOM_PREFIX + t for t in terms_l[:-1]]
+            wanted += [BLOOM_BEGIN_PREFIX + t for t in terms_l[1:]]
         seg = self.segments.filter(F.col("term").isin(wanted)).select(*seg_cols)
         doclens = (
             None
@@ -448,11 +457,13 @@ class SegmentIndex:
             # delta generations / size-capped splits); doc ranges are
             # disjoint, so decode each and concatenate in docID order
             rows_by_term: dict[str, list] = {}
-            bloom_rows: dict[str, list] = {}
+            bloom_rows: dict[tuple[str, str], list] = {}
             for _, r in seg_pdf.iterrows():
                 t = r["term"]
                 if t.startswith(BLOOM_PREFIX):
-                    bloom_rows.setdefault(t[len(BLOOM_PREFIX):], []).append(r)
+                    bloom_rows.setdefault(("end", t[1:]), []).append(r)
+                elif t.startswith(BLOOM_BEGIN_PREFIX):
+                    bloom_rows.setdefault(("begin", t[1:]), []).append(r)
                 else:
                     rows_by_term.setdefault(t, []).append(r)
             sentinel_rows = rows_by_term.pop(DOCLEN_TERM, None)
@@ -484,29 +495,50 @@ class SegmentIndex:
                 if cand.size == 0:
                     return out_empty
             if need_pos:
-                # bloom pre-check (ref Q8): for each adjacent pair, keep
-                # candidates whose end-bloom of term_i MAY contain
-                # term_{i+1}. No false negatives by construction, so this
-                # only prunes; the positional intersect below stays the
-                # gate. Applied only when one bloom row pairs with one
-                # term row (single-generation indexes).
+                # bloom pre-check (ref Q8): prune candidates whose blooms
+                # prove the adjacency impossible. No false negatives by
+                # construction, so this only prunes; the positional
+                # intersect below stays the gate. Applied only when one
+                # bloom row pairs with one term row (single-generation
+                # indexes). Sided selection mirrors the reference
+                # (query_processing.h:796-807, bloom_enable_factor = 1):
+                # 2-term phrase probes the SMALLER list's bloom — end
+                # bloom of t0 if |t0| <= |t1|, else begin bloom of t1;
+                # >2 terms fall back to the end-bloom chain (:784-793).
                 from wiser_spark.functions.bloom import token_bloom_bits
 
-                for i in range(len(terms_l) - 1):
-                    t = terms_l[i]
-                    brows = bloom_rows.get(t)
-                    if brows is None or len(brows) != 1 or len(rows_by_term[t]) != 1:
-                        continue
+                def bloom_prune(cnd, kind, term, probe_term):
+                    brows = bloom_rows.get((kind, term))
+                    if (
+                        brows is None
+                        or len(brows) != 1
+                        or len(rows_by_term[term]) != 1
+                    ):
+                        return cnd
                     n_post = int(brows[0]["df_shard"])
                     blooms = decode_column(brows[0]["tfs_blob"], n_post)
-                    ids = decoded[t][0]
+                    ids = decoded[term][0]
                     if blooms.size != ids.size:
-                        continue
-                    at = np.searchsorted(ids, cand)
-                    qb = np.uint64(token_bloom_bits(terms_l[i + 1]))
-                    cand = cand[(blooms[at] & qb) == qb]
-                    if cand.size == 0:
-                        return out_empty
+                        return cnd
+                    at = np.searchsorted(ids, cnd)
+                    qb = np.uint64(token_bloom_bits(probe_term))
+                    return cnd[(blooms[at] & qb) == qb]
+
+                if len(terms_l) == 2:
+                    t0, t1 = terms_l
+                    if decoded[t0][0].size <= decoded[t1][0].size:
+                        cand = bloom_prune(cand, "end", t0, t1)
+                    else:
+                        cand = bloom_prune(cand, "begin", t1, t0)
+                else:
+                    for i in range(len(terms_l) - 1):
+                        cand = bloom_prune(
+                            cand, "end", terms_l[i], terms_l[i + 1]
+                        )
+                        if cand.size == 0:
+                            break
+                if cand.size == 0:
+                    return out_empty
             phrase_surv = None
             cand_pre = cand
             if need_pos:

@@ -42,6 +42,24 @@ from wiser_spark.plans.manifest import (
 )
 
 
+def _source_lineage_fp(source: DataFrame) -> str:
+    """Default source fingerprint: input FILE LINEAGE (paths + size +
+    mtime) plus the schema — so resuming over changed data with an
+    unchanged schema re-runs the docs stage instead of silently serving
+    a stale index. For non-file sources (no lineage available) it falls
+    back to the schema string; pass an explicit source_fingerprint for
+    those if the data can change."""
+    entries = [source.schema.simpleString()]
+    for uri in sorted(source.inputFiles()):
+        path = uri.removeprefix("file:")
+        try:
+            st = os.stat(path)
+            entries.append(f"{uri}:{st.st_size}:{int(st.st_mtime)}")
+        except OSError:
+            entries.append(uri)
+    return fingerprint(*entries)
+
+
 class IndexBuildPipeline:
     def __init__(
         self,
@@ -57,9 +75,7 @@ class IndexBuildPipeline:
         self.work_dir = work_dir
         self.config = config or IndexConfig()
         self.order_cols = list(order_cols)
-        self.source_fingerprint = source_fingerprint or fingerprint(
-            source.schema.simpleString()
-        )
+        self.source_fingerprint = source_fingerprint or _source_lineage_fp(source)
         self.manifest = Manifest(work_dir)
 
     # ------------------------------------------------------------ stages

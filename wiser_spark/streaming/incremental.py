@@ -8,6 +8,23 @@ GENERATION of delta segments appended to the segment table (the Lucene
 segment-per-flush pattern), and doc stats accumulate. Queries merge all
 generations per (shard, term) — SegmentIndex handles that natively.
 
+EXACTLY-ONCE: foreachBatch alone only guarantees at-least-once, so the
+sink is made idempotent:
+
+  * a COMMIT LOG (``commits.json``, written atomically via tmp+rename)
+    records every committed batch_id together with its docID range;
+    a replayed batch_id is skipped outright;
+  * each batch's outputs are written to ``_staging/<batch_id>/`` first
+    and then renamed into ``<table>/generation=<batch_id>/`` — one
+    atomic rename per table. A crash mid-commit leaves at most a
+    half-moved generation that the retry REPLACES with byte-identical
+    data (docIDs come from the commit log, not from counting rows, so
+    the retry is deterministic);
+  * the docID offset is the committed ranges' end — never a count of
+    possibly-partially-committed files (the round-1 bug where a
+    transient read error restarted docIDs at 0 cannot occur: nothing
+    here swallows exceptions).
+
 Query-time global stats (N, avgdl, df) shift as documents arrive; the
 engine recomputes them from the accumulated docstats/dictionary tables at
 query time, so results always reflect the ingested prefix exactly.
@@ -17,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,9 +45,12 @@ from wiser_spark.operators.docstats import build_docstats
 from wiser_spark.operators.postings import build_postings
 from wiser_spark.operators.segments import build_segments
 
+_TABLES = ("segments", "docstats", "dictionary_deltas")
+
 
 class IncrementalIndexer:
-    """foreachBatch sink: appends one segment generation per micro-batch."""
+    """foreachBatch sink: appends one segment generation per micro-batch,
+    idempotently (see module docstring)."""
 
     def __init__(
         self,
@@ -43,44 +64,80 @@ class IncrementalIndexer:
         self.order_cols = list(order_cols)
         self.content_col = content_col
 
-    # -- docID state: next id = rows ingested so far (dense, append-only)
-    def _next_doc_id(self, spark: SparkSession) -> int:
-        path = f"{self.index_dir}/docstats"
-        try:
-            return spark.read.parquet(path).count()
-        except Exception:
-            return 0
+    # ------------------------------------------------------- commit log
+    @property
+    def _commit_path(self) -> str:
+        return f"{self.index_dir}/commits.json"
 
+    def _read_commits(self) -> dict[str, list[int]]:
+        """{batch_id(str): [doc_id_start, n_docs]} for committed batches."""
+        try:
+            with open(self._commit_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def _append_commit(self, commits: dict, batch_id: int, start: int, n: int):
+        commits[str(batch_id)] = [start, n]
+        tmp = self._commit_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(commits, f)
+        os.replace(tmp, self._commit_path)  # atomic on POSIX
+
+    # ---------------------------------------------------------- the sink
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
         spark = batch.sparkSession
-        offset = self._next_doc_id(spark)
+        os.makedirs(self.index_dir, exist_ok=True)
+        commits = self._read_commits()
+        if str(batch_id) in commits:
+            # at-least-once replay of a committed batch: a no-op (but
+            # make sure the queryable metadata exists)
+            if not os.path.exists(f"{self.index_dir}/stats.json"):
+                self._refresh_meta(spark)
+            return
+        if batch.isEmpty():
+            self._append_commit(commits, batch_id, self._next_doc_id(commits), 0)
+            return
+        offset = self._next_doc_id(commits)
         from pyspark.sql import Window
 
         # batches are micro-sized: a window over the batch is fine; IDs
-        # continue the dense sequence from the previous generation
+        # continue the dense sequence recorded in the commit log
         w = Window.orderBy(*self.order_cols)
         docs = batch.withColumn(
             "doc_id", (F.row_number().over(w) - 1 + offset).cast("long")
         )
+        n_docs = docs.count()
         postings = build_postings(docs, content_col=self.content_col)
         docstats = build_docstats(docs, content_col=self.content_col)
-        segs = build_segments(postings, self.config.n_shards).withColumn(
-            "generation", F.lit(batch_id)
-        )
-        segs.write.mode("append").partitionBy("shard_id").parquet(
-            f"{self.index_dir}/segments"
-        )
+
+        staging = f"{self.index_dir}/_staging/{batch_id}"
+        build_segments(postings, self.config.n_shards).write.mode(
+            "overwrite"
+        ).partitionBy("shard_id").parquet(f"{staging}/segments")
         docstats.select("doc_id", "doclen", "doclen_char").write.mode(
-            "append"
-        ).parquet(f"{self.index_dir}/docstats")
+            "overwrite"
+        ).parquet(f"{staging}/docstats")
         postings.groupBy("term").agg(
             F.count("*").cast("int").alias("df")
-        ).withColumn("generation", F.lit(batch_id)).write.mode("append").parquet(
-            f"{self.index_dir}/dictionary_deltas"
-        )
+        ).write.mode("overwrite").parquet(f"{staging}/dictionary_deltas")
+
+        # atomic per-table publish: generation=<id> partition dirs. A
+        # leftover from a crashed attempt of this SAME batch is replaced
+        # (it was never committed; the retry produced identical data).
+        for table in _TABLES:
+            dst = f"{self.index_dir}/{table}/generation={batch_id}"
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            os.rename(f"{staging}/{table}", dst)
+        shutil.rmtree(staging, ignore_errors=True)
+        self._append_commit(commits, batch_id, offset, n_docs)
         self._refresh_meta(spark)
+
+    def _next_doc_id(self, commits: dict) -> int:
+        """Dense append-only docIDs: the end of the committed ranges."""
+        return max((s + n for s, n in commits.values()), default=0)
 
     def _refresh_meta(self, spark: SparkSession) -> None:
         stats = spark.read.parquet(f"{self.index_dir}/docstats").agg(
@@ -102,7 +159,6 @@ class IncrementalIndexer:
             "format": "wiser-spark-segment-v1",
             "streaming": True,
         }
-        os.makedirs(self.index_dir, exist_ok=True)
         with open(f"{self.index_dir}/stats.json", "w") as f:
             json.dump(meta, f, indent=1)
 
@@ -118,8 +174,9 @@ def start_incremental_index(
     content_col: str = "content",
 ):
     """File-source streaming build: new parquet files under ``input_dir``
-    are ingested exactly-once (Structured Streaming checkpointing) into
-    the index at ``index_dir``. Returns the StreamingQuery."""
+    are ingested exactly-once (Structured Streaming checkpointing + the
+    idempotent commit-log sink) into the index at ``index_dir``. Returns
+    the StreamingQuery."""
     indexer = IncrementalIndexer(index_dir, config, order_cols, content_col)
     stream = spark.readStream.schema(schema).parquet(input_dir)
     return (

@@ -80,17 +80,34 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
-def sessionize_streaming(events: DataFrame, gap_minutes: int = 30):
+def sessionize_streaming(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "0 seconds"
+):
     """applyInPandasWithState sessionizer: per-user state holds the open
-    session; a session is emitted when the gap timeout passes (processing
-    micro-batch granularity). Returns a streaming DataFrame."""
+    session. A session is emitted when a later event of the SAME user
+    exceeds the gap, OR when the event-time watermark passes
+    session_end + gap (EventTimeTimeout) — so an idle user's final
+    session is flushed by the stream itself, without waiting for that
+    user to ever act again. Returns a streaming DataFrame."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_s = gap_minutes * 60
+    cols = ["user_id", "session_id", "n_events",
+            "session_start", "session_end", "sum_value"]
 
     def fn(key, pdfs, state: GroupState):
         (user_id,) = key
+        if state.hasTimedOut:
+            # watermark passed session_end + gap: the session can never
+            # be extended (later events would be late beyond watermark)
+            sid, n, start, end, sv = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(user_id, sid, n, start, end, round(sv, 6))], columns=cols
+            ).astype({"session_start": "datetime64[s]",
+                      "session_end": "datetime64[s]"})
+            return
         rows = pd.concat(list(pdfs)).sort_values("ts")
         if state.exists:
             sid, n, start, end, sv = state.get
@@ -107,16 +124,18 @@ def sessionize_streaming(events: DataFrame, gap_minutes: int = 30):
             end = t
             sv += float(value)
         state.update((sid, n, start, end, sv))
+        # close the open session once event time moves past end + gap
+        state.setTimeoutTimestamp(int((end + gap_s) * 1000))
         if out:
-            yield pd.DataFrame(
-                out,
-                columns=["user_id", "session_id", "n_events",
-                         "session_start", "session_end", "sum_value"],
-            ).astype({"session_start": "datetime64[s]",
-                      "session_end": "datetime64[s]"})
+            yield pd.DataFrame(out, columns=cols).astype(
+                {"session_start": "datetime64[s]",
+                 "session_end": "datetime64[s]"}
+            )
 
-    return events.groupBy("user_id").applyInPandasWithState(
+    return events.withWatermark("ts", watermark).groupBy(
+        "user_id"
+    ).applyInPandasWithState(
         fn, SESSION_SCHEMA,
         "sid int, n int, start double, end double, sv double",
-        "append", GroupStateTimeout.NoTimeout,
+        "append", GroupStateTimeout.EventTimeTimeout,
     )
