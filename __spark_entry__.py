@@ -359,6 +359,16 @@ def _q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_batch_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same query log answered by SegmentIndex.search_batch — ONE
+    pass over the segment table for the whole log (the QPS path)."""
+    idx = _mapside_index(spark, sf_dir)
+    out = idx.search_batch(BATCH_LOG, k=10)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: conjunctive BM25 top-10 on sf0.001."""
     return _bm25_query(["dup", "key"], False)(spark, "/root/testdata/sf0.001")
@@ -387,6 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": _q_events_windowed,
         "events_sessionize": _q_events_sessionize,
         "bm25_batch_log": _q_bm25_batch,
+        "bm25_batch_segments": _q_bm25_batch_segments,
         "topk_from_segments_mapside": _q_topk_mapside,
         "bm25_snippets": _q_bm25_snippets,
         "bm25_doc_freqs": _q_bm25_doc_freqs,
@@ -460,6 +471,12 @@ FROM sess GROUP BY user_id, session_id
         ),
         "bm25_doc_freqs": osql.doc_freqs_sql(SNIPPET_DF_TERMS),
         "bm25_batch_log": " UNION ALL ".join(
+            f"SELECT {qid} AS query_id, * FROM ("
+            + osql.bm25_topk_sql(terms, k=10, params=PARAMS, is_phrase=ph)
+            + ")"
+            for qid, terms, ph in BATCH_LOG
+        ),
+        "bm25_batch_segments": " UNION ALL ".join(
             f"SELECT {qid} AS query_id, * FROM ("
             + osql.bm25_topk_sql(terms, k=10, params=PARAMS, is_phrase=ph)
             + ")"

@@ -114,6 +114,14 @@ def main() -> None:
             t0 = time.perf_counter()
             idx.search(terms, k=10, is_phrase=is_phrase).collect()
             timings[f"seg_{name}"] = round(time.perf_counter() - t0, 3)
+
+        # the segment BATCH path: whole log, one shard pass (QPS path)
+        t0 = time.perf_counter()
+        n_res = idx.search_batch(batch, k=10).count()
+        dt = time.perf_counter() - t0
+        timings["seg_batch_21_queries"] = round(dt, 3)
+        seg_batch_qps = round(len(batch) / dt, 2)
+        _ = n_res
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
 
@@ -183,6 +191,7 @@ def main() -> None:
             n_docs / extras["index_build_mapside"], 1
         ),
         "batch_qps": batch_qps,
+        "seg_batch_qps": seg_batch_qps,
         "sf1_n_docs": sf1_n,
         "sf1_build_sec": sf1["build"],
         "sf1_docs_per_sec": round(sf1_n / sf1["build"], 1),

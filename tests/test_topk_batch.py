@@ -52,6 +52,35 @@ def test_batch_equals_oracle_per_query(spark):
             assert s_have == pytest.approx(s_want, rel=1e-12)
 
 
+def test_segment_batch_equals_oracle_per_query(spark, tmp_path):
+    """SegmentIndex.search_batch (one shard pass for the whole log) must
+    be rank- and score-identical to the per-query oracle."""
+    from wiser_spark.config import IndexConfig
+    from wiser_spark.operators.mapside import write_index_mapside
+    from wiser_spark.operators.segments import SegmentIndex
+
+    docs = assign_doc_ids(corpus_df(spark, N), n_partitions=4).select(
+        "doc_id", "content"
+    )
+    d = str(tmp_path / "idx")
+    write_index_mapside(docs, d, IndexConfig(bm25=PARAMS, n_shards=4))
+    idx = SegmentIndex(spark, d)
+    got_rows = idx.search_batch(QUERY_LOG, k=10).collect()
+    got: dict[int, list] = {}
+    for r in sorted(got_rows, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+
+    eng = OracleEngine(PARAMS)
+    for row in make_corpus(N):
+        eng.add_document(row["content"])
+    for qid, terms, is_phrase in QUERY_LOG:
+        want = eng.search(terms, k=10, is_phrase=is_phrase)
+        have = got.get(qid, [])
+        assert [d_ for d_, _ in have] == [d_ for d_, _ in want], f"query {qid}"
+        for (_, s_have), (_, s_want) in zip(have, want):
+            assert s_have == pytest.approx(s_want, rel=1e-12)
+
+
 def test_batch_topk_is_two_phase(spark):
     """Skew gate: every window over query_id ALONE must be fed by the
     salted local top-k (bounded <= k*n_salts rows per query) — no

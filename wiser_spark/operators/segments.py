@@ -297,6 +297,150 @@ def write_index(
         json.dump(meta, f, indent=1)
 
 
+# ---------------------------------------------------- shard query kernel
+# module-level pieces shared by SegmentIndex.search (single query, with
+# optional snippet extras) and SegmentIndex.search_batch (whole query
+# log per shard pass)
+
+def _parse_shard_rows(seg_pdf: "pd.DataFrame"):
+    """Split a shard's segment rows into term rows, bloom rows (keyed by
+    (side, term)) and the doc-length sentinel rows."""
+    rows_by_term: dict[str, list] = {}
+    bloom_rows: dict[tuple[str, str], list] = {}
+    for _, r in seg_pdf.iterrows():
+        t = r["term"]
+        if t.startswith(BLOOM_PREFIX):
+            bloom_rows.setdefault(("end", t[1:]), []).append(r)
+        elif t.startswith(BLOOM_BEGIN_PREFIX):
+            bloom_rows.setdefault(("begin", t[1:]), []).append(r)
+        else:
+            rows_by_term.setdefault(t, []).append(r)
+    sentinel_rows = rows_by_term.pop(DOCLEN_TERM, None)
+    return rows_by_term, bloom_rows, sentinel_rows
+
+
+def _decode_terms(rows_by_term, terms: set, need_pos: bool, need_off: bool):
+    """Decode each term's (possibly multi-generation) rows once:
+    term -> (ids, tfs, plists, olists), docID-ascending."""
+    decoded = {}
+    for t in terms:
+        parts = [
+            decode_segment_row(r, with_positions=need_pos, with_offsets=need_off)
+            for r in rows_by_term[t]
+        ]
+        parts.sort(key=lambda p: int(p[0][0]))
+        ids = np.concatenate([p[0] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts])
+        plists = [pl for p in parts for pl in p[2]] if need_pos else None
+        olists = [ol for p in parts for ol in p[3]] if need_off else None
+        decoded[t] = (ids, tfs, plists, olists)
+    return decoded
+
+
+def _conjunct(decoded, terms_l):
+    """k-way conjunction, smallest list first (zig-zag analogue)."""
+    cand = None
+    for t in sorted(set(terms_l), key=lambda t: decoded[t][0].size):
+        ids = decoded[t][0]
+        cand = ids if cand is None else cand[np.isin(cand, ids)]
+        if cand.size == 0:
+            break
+    return cand
+
+
+def _bloom_prune(cand, decoded, terms_l, bloom_rows, rows_by_term):
+    """Phrase bloom pre-check (ref Q8): prune candidates whose blooms
+    prove the adjacency impossible. No false negatives by construction,
+    so this only prunes; the positional intersect stays the gate.
+    Applied only when one bloom row pairs with one term row
+    (single-generation indexes). Sided selection mirrors the reference
+    (query_processing.h:796-807, bloom_enable_factor = 1): a 2-term
+    phrase probes the SMALLER list's bloom — end bloom of t0 if
+    |t0| <= |t1|, else begin bloom of t1; >2 terms fall back to the
+    end-bloom chain (:784-793)."""
+    from wiser_spark.functions.bloom import token_bloom_bits
+
+    def prune(cnd, kind, term, probe_term):
+        brows = bloom_rows.get((kind, term))
+        if brows is None or len(brows) != 1 or len(rows_by_term[term]) != 1:
+            return cnd
+        n_post = int(brows[0]["df_shard"])
+        blooms = decode_column(brows[0]["tfs_blob"], n_post)
+        ids = decoded[term][0]
+        if blooms.size != ids.size:
+            return cnd
+        at = np.searchsorted(ids, cnd)
+        qb = np.uint64(token_bloom_bits(probe_term))
+        return cnd[(blooms[at] & qb) == qb]
+
+    if len(terms_l) == 2:
+        t0, t1 = terms_l
+        if decoded[t0][0].size <= decoded[t1][0].size:
+            return prune(cand, "end", t0, t1)
+        return prune(cand, "begin", t1, t0)
+    for i in range(len(terms_l) - 1):
+        cand = prune(cand, "end", terms_l[i], terms_l[i + 1])
+        if cand.size == 0:
+            break
+    return cand
+
+
+def _phrase_intersect(decoded, terms_l, cand):
+    """Fully vectorized adjusted-position intersect: one key per
+    (candidate, position) as cand_idx * 2^32 + (pos - i + k_terms);
+    phrase docs = docs surviving the k-way key intersection. Returns
+    (cand_filtered, surviving_keys, cand_pre) — the keys feed snippet
+    offset filtering. No per-candidate Python loop."""
+    n_terms = len(terms_l)
+    key_sets = []
+    for i, t in enumerate(terms_l):
+        ids, tfs, plists, _ = decoded[t]
+        at = np.searchsorted(ids, cand)
+        cand_tfs = tfs[at]
+        pos_cat = (
+            np.concatenate([plists[j] for j in at])
+            if at.size
+            else np.zeros(0, dtype=np.int64)
+        )
+        if pos_cat.size:
+            # key packing safety: positions must fit 32 bits
+            assert int(pos_cat.max()) < 2**31 - n_terms, (
+                "token position overflows the packed key"
+            )
+        owner = np.repeat(np.arange(cand.size, dtype=np.int64), cand_tfs)
+        keys = (owner << np.int64(32)) | (pos_cat.astype(np.int64) - i + n_terms)
+        key_sets.append(keys)
+    key_sets.sort(key=lambda a: a.size)
+    surv = key_sets[0]
+    for ks in key_sets[1:]:
+        surv = surv[np.isin(surv, ks)]
+        if surv.size == 0:
+            return surv[:0], surv, cand
+    return cand[np.unique(surv >> np.int64(32))], surv, cand
+
+
+def _doclen_codes(sentinel_rows, len_pdf, cand):
+    """Lossy doc-length byte per candidate: from the in-shard sentinel
+    rows (v2) or the cogrouped docstats slice (v1)."""
+    if sentinel_rows is not None:
+        parts = [decode_doclen_sentinel(r) for r in sentinel_rows]
+        parts.sort(key=lambda p: int(p[0][0]) if len(p[0]) else 0)
+        sent_ids = np.concatenate([p[0] for p in parts])
+        sent_chars = np.concatenate([p[1] for p in parts])
+        return sent_chars[np.searchsorted(sent_ids, cand)] & 0xFF
+    len_by_doc = len_pdf.set_index("doc_id")["doclen_char"]
+    return len_by_doc.reindex(cand).to_numpy(dtype=np.int64) & 0xFF
+
+
+def _bm25_scores(decoded, terms_l, cand, codes, idfs, cache, k1):
+    scores = np.zeros(cand.size, dtype=np.float64)
+    for t in terms_l:
+        ids, tfs, _, _ = decoded[t]
+        tf = tfs[np.searchsorted(ids, cand)].astype(np.float64)
+        scores += idfs[t] * ((tf * (k1 + 1.0)) / (tf + cache[codes]))
+    return scores
+
+
 # ------------------------------------------------------------------ read
 def _decode_runs(blob, counts: np.ndarray) -> np.ndarray:
     """Decode a per-doc delta varint stream (pos_blob/off_blob layout):
@@ -456,142 +600,28 @@ class SegmentIndex:
             # a term may have several segment rows in a shard (streaming
             # delta generations / size-capped splits); doc ranges are
             # disjoint, so decode each and concatenate in docID order
-            rows_by_term: dict[str, list] = {}
-            bloom_rows: dict[tuple[str, str], list] = {}
-            for _, r in seg_pdf.iterrows():
-                t = r["term"]
-                if t.startswith(BLOOM_PREFIX):
-                    bloom_rows.setdefault(("end", t[1:]), []).append(r)
-                elif t.startswith(BLOOM_BEGIN_PREFIX):
-                    bloom_rows.setdefault(("begin", t[1:]), []).append(r)
-                else:
-                    rows_by_term.setdefault(t, []).append(r)
-            sentinel_rows = rows_by_term.pop(DOCLEN_TERM, None)
+            rows_by_term, bloom_rows, sentinel_rows = _parse_shard_rows(seg_pdf)
             if any(t not in rows_by_term for t in terms_l):
                 return out_empty
-            decoded = {}
-            for t in set(terms_l):
-                parts = [
-                    decode_segment_row(
-                        r, with_positions=need_pos, with_offsets=need_off
-                    )
-                    for r in rows_by_term[t]
-                ]
-                parts.sort(key=lambda p: int(p[0][0]))
-                ids = np.concatenate([p[0] for p in parts])
-                tfs = np.concatenate([p[1] for p in parts])
-                plists = (
-                    [pl for p in parts for pl in p[2]] if need_pos else None
-                )
-                olists = (
-                    [ol for p in parts for ol in p[3]] if need_off else None
-                )
-                decoded[t] = (ids, tfs, plists, olists)
-            # k-way conjunction, smallest list first (zig-zag analogue)
-            cand = None
-            for t in sorted(set(terms_l), key=lambda t: decoded[t][0].size):
-                ids = decoded[t][0]
-                cand = ids if cand is None else cand[np.isin(cand, ids)]
-                if cand.size == 0:
-                    return out_empty
+            decoded = _decode_terms(rows_by_term, set(terms_l), need_pos, need_off)
+            cand = _conjunct(decoded, terms_l)
+            if cand.size == 0:
+                return out_empty
             if need_pos:
-                # bloom pre-check (ref Q8): prune candidates whose blooms
-                # prove the adjacency impossible. No false negatives by
-                # construction, so this only prunes; the positional
-                # intersect below stays the gate. Applied only when one
-                # bloom row pairs with one term row (single-generation
-                # indexes). Sided selection mirrors the reference
-                # (query_processing.h:796-807, bloom_enable_factor = 1):
-                # 2-term phrase probes the SMALLER list's bloom — end
-                # bloom of t0 if |t0| <= |t1|, else begin bloom of t1;
-                # >2 terms fall back to the end-bloom chain (:784-793).
-                from wiser_spark.functions.bloom import token_bloom_bits
-
-                def bloom_prune(cnd, kind, term, probe_term):
-                    brows = bloom_rows.get((kind, term))
-                    if (
-                        brows is None
-                        or len(brows) != 1
-                        or len(rows_by_term[term]) != 1
-                    ):
-                        return cnd
-                    n_post = int(brows[0]["df_shard"])
-                    blooms = decode_column(brows[0]["tfs_blob"], n_post)
-                    ids = decoded[term][0]
-                    if blooms.size != ids.size:
-                        return cnd
-                    at = np.searchsorted(ids, cnd)
-                    qb = np.uint64(token_bloom_bits(probe_term))
-                    return cnd[(blooms[at] & qb) == qb]
-
-                if len(terms_l) == 2:
-                    t0, t1 = terms_l
-                    if decoded[t0][0].size <= decoded[t1][0].size:
-                        cand = bloom_prune(cand, "end", t0, t1)
-                    else:
-                        cand = bloom_prune(cand, "begin", t1, t0)
-                else:
-                    for i in range(len(terms_l) - 1):
-                        cand = bloom_prune(
-                            cand, "end", terms_l[i], terms_l[i + 1]
-                        )
-                        if cand.size == 0:
-                            break
+                cand = _bloom_prune(cand, decoded, terms_l, bloom_rows, rows_by_term)
                 if cand.size == 0:
                     return out_empty
             phrase_surv = None
             cand_pre = cand
             if need_pos:
-                # fully vectorized adjusted-position intersect: one key
-                # per (candidate, position) as cand_idx * 2^32 + (pos - i
-                # + k_terms); phrase docs = docs surviving the k-way key
-                # intersection. No per-candidate Python loop.
-                n_terms = len(terms_l)
-                key_sets = []
-                for i, t in enumerate(terms_l):
-                    ids, tfs, plists, _ = decoded[t]
-                    at = np.searchsorted(ids, cand)
-                    cand_tfs = tfs[at]
-                    # gather candidate docs' positions from the flat lists
-                    pos_cat = (
-                        np.concatenate([plists[j] for j in at])
-                        if at.size
-                        else np.zeros(0, dtype=np.int64)
-                    )
-                    if pos_cat.size:
-                        # key packing safety: positions must fit 32 bits
-                        # (ADVICE: a pos >= 2^31 would corrupt keys)
-                        assert int(pos_cat.max()) < 2**31 - n_terms, (
-                            "token position overflows the packed key"
-                        )
-                    owner = np.repeat(np.arange(cand.size, dtype=np.int64), cand_tfs)
-                    keys = (owner << np.int64(32)) | (
-                        pos_cat.astype(np.int64) - i + n_terms
-                    )
-                    key_sets.append(keys)
-                key_sets.sort(key=lambda a: a.size)
-                surv = key_sets[0]
-                for ks in key_sets[1:]:
-                    surv = surv[np.isin(surv, ks)]
-                    if surv.size == 0:
-                        return out_empty
-                phrase_surv = surv
-                cand = cand[np.unique(surv >> np.int64(32))]
+                cand, phrase_surv, cand_pre = _phrase_intersect(
+                    decoded, terms_l, cand
+                )
+                if cand.size == 0:
+                    return out_empty
             # vectorized BM25 over the shard's candidates
-            if sentinel_rows is not None:
-                parts = [decode_doclen_sentinel(r) for r in sentinel_rows]
-                parts.sort(key=lambda p: int(p[0][0]) if len(p[0]) else 0)
-                sent_ids = np.concatenate([p[0] for p in parts])
-                sent_chars = np.concatenate([p[1] for p in parts])
-                codes = sent_chars[np.searchsorted(sent_ids, cand)] & 0xFF
-            else:
-                len_by_doc = len_pdf.set_index("doc_id")["doclen_char"]
-                codes = len_by_doc.reindex(cand).to_numpy(dtype=np.int64) & 0xFF
-            scores = np.zeros(cand.size, dtype=np.float64)
-            for i, t in enumerate(terms_l):
-                ids, tfs, _, _ = decoded[t]
-                tf = tfs[np.searchsorted(ids, cand)].astype(np.float64)
-                scores += idfs[t] * ((tf * (k1 + 1.0)) / (tf + cache[codes]))
+            codes = _doclen_codes(sentinel_rows, len_pdf, cand)
+            scores = _bm25_scores(decoded, terms_l, cand, codes, idfs, cache, k1)
             order = np.lexsort((cand, -scores))[:k]
             out = {"doc_id": cand[order], "score": scores[order]}
             if need_off:
@@ -670,3 +700,138 @@ class SegmentIndex:
                 )
 
         return hits.mapInPandas(mk_snippets, out_schema).orderBy("rank")
+
+    def search_batch(
+        self, queries: list[tuple[int, list[str], bool]], k: int = 10
+    ) -> DataFrame:
+        """Answer a WHOLE query log in ONE pass over the segment table:
+        (query_id, rank, doc_id, score).
+
+        The QPS path: one scan + one Arrow stage answers every query —
+        each shard decodes every referenced term ONCE (shared across
+        queries that reuse a term), runs the same per-query kernel
+        search() uses, and emits <= k rows per (query, shard). The
+        global merge is a window over <= k * n_shards rows per query.
+        The reference serves a log through its processor dispatch loop
+        (``query_processing.h:956-979``) one query at a time; batching
+        is the Spark-native fan-in that amortizes scan and job cost."""
+        spark = self.spark
+        out_schema = "query_id int, rank int, doc_id long, score double"
+        empty = spark.createDataFrame([], out_schema)
+        qlist = [
+            (int(qid), [str(t) for t in terms], bool(ph) and len(terms) > 1)
+            for qid, terms, ph in queries
+            if terms
+        ]
+        if not qlist:
+            return empty
+        all_terms = sorted({t for _, terms, _ in qlist for t in terms})
+        df_rows = self.dictionary.filter(F.col("term").isin(all_terms)).collect()
+        df_map = {r["term"]: int(r["df"]) for r in df_rows}
+        # AND semantics: a query with any absent term is empty
+        qlist = [q for q in qlist if all(t in df_map for t in q[1])]
+        if not qlist:
+            return empty
+        n_docs, avgdl = self.stats.n_docs, self.stats.avgdl
+        params = self.params
+        idfs = {
+            t: float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+            for t, df in df_map.items()
+        }
+        cache = tfnorm_cache(avgdl, params)
+        k1 = params.k1
+        need_pos = any(ph for _, _, ph in qlist)
+        has_sentinel = self.has_sentinel
+        n_shards = self.meta["n_shards"]
+
+        seg_cols = [
+            "shard_id", "term", "df_shard", "docids_blob", "tfs_blob",
+            "skip_predocs", "skip_docid_offs", "skip_tf_offs",
+        ]
+        if need_pos:
+            seg_cols += ["pos_blob", "skip_pos_offs"]
+        wanted = set(all_terms) | ({""} if has_sentinel else set())
+        if has_sentinel:
+            for _, terms_l, ph in qlist:
+                if ph:
+                    wanted.update(BLOOM_PREFIX + t for t in terms_l[:-1])
+                    wanted.update(BLOOM_BEGIN_PREFIX + t for t in terms_l[1:])
+        seg = self.segments.filter(
+            F.col("term").isin(sorted(wanted))
+        ).select(*seg_cols)
+        doclens = (
+            None
+            if has_sentinel
+            else self.docstats.withColumn(
+                "shard_id", (F.col("doc_id") % n_shards).cast("int")
+            ).select("shard_id", "doc_id", "doclen_char")
+        )
+
+        def batch_shard(
+            seg_pdf: pd.DataFrame, len_pdf: pd.DataFrame | None
+        ) -> pd.DataFrame:
+            rows_by_term, bloom_rows, sentinel_rows = _parse_shard_rows(seg_pdf)
+            present = {t for t in all_terms if t in rows_by_term}
+            decoded = _decode_terms(rows_by_term, present, need_pos, False)
+            out_q: list[int] = []
+            out_d: list[np.ndarray] = []
+            out_s: list[np.ndarray] = []
+            for qid, terms_l, ph in qlist:
+                if any(t not in decoded for t in terms_l):
+                    continue  # empty in THIS shard
+                cand = _conjunct(decoded, terms_l)
+                if cand.size == 0:
+                    continue
+                if ph:
+                    cand = _bloom_prune(
+                        cand, decoded, terms_l, bloom_rows, rows_by_term
+                    )
+                    if cand.size == 0:
+                        continue
+                    cand, _, _ = _phrase_intersect(decoded, terms_l, cand)
+                    if cand.size == 0:
+                        continue
+                codes = _doclen_codes(sentinel_rows, len_pdf, cand)
+                scores = _bm25_scores(
+                    decoded, terms_l, cand, codes, idfs, cache, k1
+                )
+                order = np.lexsort((cand, -scores))[:k]
+                out_q.extend([qid] * len(order))
+                out_d.append(cand[order])
+                out_s.append(scores[order])
+            if not out_q:
+                return pd.DataFrame(
+                    {"query_id": pd.Series(dtype="int32"),
+                     "doc_id": pd.Series(dtype="int64"),
+                     "score": pd.Series(dtype="float64")}
+                )
+            return pd.DataFrame(
+                {
+                    "query_id": np.asarray(out_q, dtype=np.int32),
+                    "doc_id": np.concatenate(out_d),
+                    "score": np.concatenate(out_s),
+                }
+            )
+
+        shard_schema = "query_id int, doc_id long, score double"
+        if has_sentinel:
+            per_shard = seg.groupBy("shard_id").applyInPandas(
+                lambda sp: batch_shard(sp, None), shard_schema
+            )
+        else:
+            per_shard = seg.groupBy("shard_id").cogroup(
+                doclens.groupBy("shard_id")
+            ).applyInPandas(
+                lambda sp, lp: batch_shard(sp, lp), shard_schema
+            )
+        from pyspark.sql import Window
+
+        # <= k rows per (query, shard) reach this window — bounded input
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            per_shard.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score")
+        )
