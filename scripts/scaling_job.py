@@ -27,6 +27,8 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--n-shards", type=int, default=64)
     ap.add_argument("--out", default="")
+    ap.add_argument("--query-reps", type=int, default=3,
+                    help="0 skips the query suite (build-only treatment)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -77,29 +79,33 @@ def main() -> None:
         )
         build_sec = time.perf_counter() - t0
 
-        idx = SegmentIndex(spark, index_dir)
-        idx.segments = idx.segments.cache()
-        idx.segments.count()
-        latencies = []
-        per_query = {}
-        for name, (terms, is_phrase) in BM25_QUERIES.items():
-            for rep in range(3):
-                t0 = time.perf_counter()
-                idx.search(terms, k=10, is_phrase=is_phrase).collect()
-                dt = time.perf_counter() - t0
-                latencies.append(dt)
-                if rep == 2:  # warm number
-                    per_query[name] = round(dt, 3)
-        latencies.sort()
         result = {
             "cpus": args.cpus,
             "n_docs": n_docs,
             "build_sec": round(build_sec, 2),
             "docs_per_sec": round(n_docs / build_sec, 1),
-            "query_p50": round(latencies[len(latencies) // 2], 3),
-            "query_p99": round(latencies[max(0, int(len(latencies) * 0.99) - 1)], 3),
-            "queries_warm": per_query,
         }
+        if args.query_reps > 0:
+            idx = SegmentIndex(spark, index_dir)
+            idx.segments = idx.segments.cache()
+            idx.segments.count()
+            latencies = []
+            per_query = {}
+            for name, (terms, is_phrase) in BM25_QUERIES.items():
+                for rep in range(args.query_reps):
+                    t0 = time.perf_counter()
+                    idx.search(terms, k=10, is_phrase=is_phrase).collect()
+                    dt = time.perf_counter() - t0
+                    latencies.append(dt)
+                    if rep == args.query_reps - 1:  # warm number
+                        per_query[name] = round(dt, 3)
+            latencies.sort()
+            result.update({
+                "query_p50": round(latencies[len(latencies) // 2], 3),
+                "query_p99": round(
+                    latencies[max(0, int(len(latencies) * 0.99) - 1)], 3),
+                "queries_warm": per_query,
+            })
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
 

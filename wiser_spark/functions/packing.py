@@ -56,6 +56,12 @@ def unpack_frame(buf: np.ndarray, offset: int) -> tuple[np.ndarray, int]:
     width = int(buf[offset + 1])
     n_data = (PACK_SIZE * width + 7) // 8
     data = buf[offset + 2 : offset + 2 + n_data]
+    if width % 8 == 0:
+        # byte-multiple width: values are truncated little-endian bytes
+        nb = width // 8
+        wide = np.zeros((PACK_SIZE, 8), dtype=np.uint8)
+        wide[:, :nb] = data.reshape(PACK_SIZE, nb)
+        return wide.view("<u8").reshape(PACK_SIZE).astype(np.uint64), 2 + n_data
     bits = np.unpackbits(data, bitorder="little")[: PACK_SIZE * width]
     bits = bits.reshape(PACK_SIZE, width).astype(np.uint64)
     weights = (np.uint64(1) << np.arange(width, dtype=np.uint64))
@@ -63,7 +69,9 @@ def unpack_frame(buf: np.ndarray, offset: int) -> tuple[np.ndarray, int]:
     return vals, 2 + n_data
 
 
-def encode_column(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+def encode_column(
+    values: np.ndarray, force_width: int | None = None
+) -> tuple[bytes, np.ndarray]:
     """Encode a full int column -> (blob, frame_offsets).
 
     Blob = packed frames for each full group of 128 + one varint tail for
@@ -74,6 +82,10 @@ def encode_column(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     Vectorized: frames are packed in batches grouped by bit width (the
     per-frame loop of the naive form dominated segment-build CPU). Byte
     output is identical to packing each frame with pack_frame().
+
+    ``force_width`` pins every frame's bit width (must cover the data).
+    Widths that are a multiple of 8 pack as raw little-endian bytes — a
+    memcpy, no bit games; bloom columns force 64 for exactly this.
     """
     v = np.asarray(values, dtype=np.uint64)
     n_full = v.size // PACK_SIZE
@@ -82,29 +94,50 @@ def encode_column(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     blob_head = b""
     if n_full:
         frames = v[: n_full * PACK_SIZE].reshape(n_full, PACK_SIZE)
-        maxes = frames.max(axis=1)
-        # exact bit widths: frexp on float64 can round values >= 2^53
-        # upward (width 65 for a max near 2^64); the python loop is over
-        # FRAMES (1/128th of values), cost negligible
-        widths = np.fromiter(
-            (max(int(m).bit_length(), 1) for m in maxes),
-            dtype=np.int64, count=n_full,
-        )
+        if force_width is not None:
+            widths = np.full(n_full, force_width, dtype=np.int64)
+        else:
+            maxes = frames.max(axis=1)
+            # exact bit widths: frexp on float64 can round values >= 2^53
+            # upward (width 65 for a max near 2^64); the python loop is
+            # over FRAMES (1/128th of values), cost negligible
+            widths = np.fromiter(
+                (max(int(m).bit_length(), 1) for m in maxes),
+                dtype=np.int64, count=n_full,
+            )
         data_bytes = (PACK_SIZE * widths + 7) // 8
         frame_sizes = 2 + data_bytes
         frame_offs = np.concatenate(([0], np.cumsum(frame_sizes)[:-1]))
         out = np.zeros(int(frame_sizes.sum()), dtype=np.uint8)
         out[frame_offs] = PACKED_FRAME_MAGIC
         out[frame_offs + 1] = widths
-        for w in np.unique(widths):
+        uniq = np.unique(widths)
+        if len(uniq) == 1 and int(uniq[0]) % 8 == 0:
+            # single byte-multiple width (forced blooms): one memcpy
+            nb = int(uniq[0]) // 8
+            le = frames.astype("<u8", copy=False).view(np.uint8)
+            out.reshape(n_full, 2 + PACK_SIZE * nb)[:, 2:] = le.reshape(
+                n_full, PACK_SIZE, 8
+            )[:, :, :nb].reshape(n_full, PACK_SIZE * nb)
+            uniq = uniq[:0]
+        for w in uniq:
             idx = np.nonzero(widths == w)[0]
             sub = frames[idx]
-            shifts = np.arange(w, dtype=np.uint64)
-            bits = ((sub[:, :, None] >> shifts) & np.uint64(1)).astype(np.uint8)
-            packed = np.packbits(
-                bits.reshape(len(idx), PACK_SIZE * int(w)), axis=1,
-                bitorder="little",
-            )
+            if w % 8 == 0:
+                # LSB-first at a byte-multiple width == truncated
+                # little-endian bytes of each value: pure memcpy
+                nb = int(w) // 8
+                le = sub.astype("<u8", copy=False).view(np.uint8)
+                packed = le.reshape(len(idx), PACK_SIZE, 8)[:, :, :nb].reshape(
+                    len(idx), PACK_SIZE * nb
+                )
+            else:
+                shifts = np.arange(w, dtype=np.uint64)
+                bits = ((sub[:, :, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+                packed = np.packbits(
+                    bits.reshape(len(idx), PACK_SIZE * int(w)), axis=1,
+                    bitorder="little",
+                )
             scatter = frame_offs[idx][:, None] + 2 + np.arange(packed.shape[1])
             out[scatter] = packed
         blob_head = out.tobytes()

@@ -17,14 +17,30 @@ import numpy as np
 _MAX_BYTES = 10  # ceil(64 / 7)
 
 
-def varint_encode(values) -> bytes:
-    """Encode an array of non-negative ints to a varint byte stream."""
-    v = np.asarray(values, dtype=np.uint64)
-    if v.size == 0:
-        return b""
+def _n_bytes_of(v: np.ndarray, vmax: int) -> np.ndarray:
+    """Per-value encoded length; compares only up to the width the max
+    value actually needs (1-2 passes for typical delta streams, not 9)."""
     n_bytes = np.ones(v.shape, dtype=np.int64)
     for k in range(1, _MAX_BYTES):
-        n_bytes += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+        bound = np.uint64(1) << np.uint64(7 * k)
+        if vmax < bound:
+            break
+        n_bytes += (v >= bound).astype(np.int64)
+    return n_bytes
+
+
+def varint_encode_with_lengths(values) -> tuple[bytes, np.ndarray]:
+    """(byte stream, per-value encoded lengths) in one pass — the
+    lengths are what skip entries are built from, so computing them
+    alongside the encode avoids a second width scan."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b"", np.zeros(0, dtype=np.int64)
+    vmax = int(v.max())
+    if vmax < 0x80:
+        # all single-byte: the dominant case for delta streams
+        return v.astype(np.uint8).tobytes(), np.ones(v.shape, dtype=np.int64)
+    n_bytes = _n_bytes_of(v, vmax)
     starts = np.zeros(v.shape, dtype=np.int64)
     starts[1:] = np.cumsum(n_bytes)[:-1]
     out = np.zeros(int(n_bytes.sum()), dtype=np.uint8)
@@ -35,16 +51,20 @@ def varint_encode(values) -> bytes:
         more = (n_bytes[mask] > k + 1).astype(np.uint8)
         out[starts[mask] + k] = byte | (more << 7)
         rem[mask] >>= np.uint64(7)
-    return out.tobytes()
+    return out.tobytes(), n_bytes
+
+
+def varint_encode(values) -> bytes:
+    """Encode an array of non-negative ints to a varint byte stream."""
+    return varint_encode_with_lengths(values)[0]
 
 
 def varint_lengths(values) -> np.ndarray:
     """Encoded byte length of each value (vectorized)."""
     v = np.asarray(values, dtype=np.uint64)
-    n_bytes = np.ones(v.shape, dtype=np.int64)
-    for k in range(1, _MAX_BYTES):
-        n_bytes += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
-    return n_bytes
+    if v.size == 0:
+        return np.ones(v.shape, dtype=np.int64)
+    return _n_bytes_of(v, int(v.max()))
 
 
 def varint_decode(buf: bytes | np.ndarray, offset: int = 0, count: int | None = None):

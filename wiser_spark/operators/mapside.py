@@ -73,208 +73,219 @@ def build_segments_mapside(
     parted = parted.sortWithinPartitions("doc_id")
 
     def encode_partition(arrow_batches) -> Iterator[pd.DataFrame]:
-        import pyarrow as pa
-        import pyarrow.compute as pc
         from pyspark import TaskContext
 
-        from wiser_spark.config import TOKEN_SPLIT_REGEX
-
-        shard_id = TaskContext.get().partitionId()
-        # the ENTIRE tokenize+flatten+dictionary-encode pipeline runs in
-        # Arrow C++ — no Python string objects exist in the hot path
-        # (the earlier pandas/.findall variant was memory-bandwidth
-        # bound on PyObject churn and capped multi-core scaling)
-        from wiser_spark.functions.tokenize import token_spans_batch
-
-        code_chunks, doc_chunks, pos_chunks = [], [], []
-        start_chunks, end_chunks = [], []
-        id_chunks, len_chunks = [], []
-        vocab_chunks = []
-        for rb in arrow_batches:
-            ids_arr = rb.column(rb.schema.get_field_index("doc_id"))
-            content = rb.column(rb.schema.get_field_index(content_col))
-            ids = ids_arr.to_numpy(zero_copy_only=False).astype(np.int64)
-            low = pc.utf8_lower(content)
-            toks = pc.split_pattern_regex(low, pattern=TOKEN_SPLIT_REGEX)
-            counts_raw = pc.list_value_length(toks).to_numpy(
-                zero_copy_only=False
-            ).astype(np.int64)
-            flat = pc.list_flatten(toks)
-            keep = pc.not_equal(flat, "")
-            keep_np = keep.to_numpy(zero_copy_only=False)
-            flat_kept = pc.filter(flat, keep)
-            # per-doc token counts after dropping the empty split chunks
-            ends_raw = np.cumsum(counts_raw)
-            kept_cum = np.concatenate(([0], np.cumsum(keep_np)))
-            counts = kept_cum[ends_raw] - kept_cum[ends_raw - counts_raw]
-            total = int(counts.sum())
-            # dictionary-encode kept tokens (C++ hash); codes local to batch
-            denc = pc.dictionary_encode(flat_kept)
-            if isinstance(denc, pa.ChunkedArray):
-                denc = denc.combine_chunks()
-            codes_local = denc.indices.to_numpy(zero_copy_only=False).astype(
-                np.int64
-            )
-            vocab_chunks.append(denc.dictionary)
-            code_chunks.append(codes_local)
-            doc_chunks.append(np.repeat(ids, counts))
-            ends = np.cumsum(counts)
-            pos_chunks.append(
-                np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
-            )
-            # byte spans of the SAME token stream (offsets column):
-            # maximal [a-z0-9_] runs == non-empty split pieces, asserted
-            sp_counts, sp_starts, sp_ends = token_spans_batch(low)
-            assert sp_starts.size == total and np.array_equal(
-                sp_counts, counts
-            ), "token spans misaligned with split tokens"
-            start_chunks.append(sp_starts)
-            end_chunks.append(sp_ends)
-            id_chunks.append(ids)
-            # reference BodyLength(): non-empty ' '-split chunks (B3)
-            len_chunks.append(
-                pc.count_substring_regex(content, "[^ ]+")
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64)
-            )
-        if not id_chunks or sum(len(c) for c in id_chunks) == 0:
-            yield pd.DataFrame(
-                columns=[f.split()[0] for f in SEGMENT_SCHEMA.split(", ")]
-            )
-            return
-        # unify per-batch dictionaries into one partition vocabulary
-        offsets = np.zeros(len(vocab_chunks), dtype=np.int64)
-        sizes = np.array([len(v) for v in vocab_chunks], dtype=np.int64)
-        offsets[1:] = np.cumsum(sizes)[:-1]
-        all_vocab = pa.concat_arrays(
-            [v.cast(pa.string()) for v in vocab_chunks]
+        yield from encode_doc_batches(
+            arrow_batches, TaskContext.get().partitionId(),
+            content_col, with_blooms,
         )
-        # global codes: re-encode the concatenated vocab, map local->global
-        genc = pc.dictionary_encode(all_vocab)
-        if isinstance(genc, pa.ChunkedArray):
-            genc = genc.combine_chunks()
-        local_to_global = genc.indices.to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        global_vocab = genc.dictionary
-        # sort the vocabulary so segment rows come out in term order —
-        # in Arrow C++ (UTF-8 byte order == code-point order, identical
-        # to a Python-string sort); the ONE Python-string materialization
-        # left is `uniques` itself, which every segment row's term field
-        # and the per-unique-term md5 bloom table need anyway
-        sort_perm = (
-            pc.sort_indices(global_vocab)
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-        rank_of = np.empty(len(sort_perm), dtype=np.int64)
-        rank_of[sort_perm] = np.arange(len(sort_perm))
-        uniques = np.asarray(
-            global_vocab.take(pa.array(sort_perm)).to_pylist(), dtype=object
-        )
-        codes = np.concatenate(
-            [
-                rank_of[local_to_global[offsets[i] + code_chunks[i]]]
-                for i in range(len(code_chunks))
-            ]
-        )
-        docs_rep = np.concatenate(doc_chunks)
-        pos_all = np.concatenate(pos_chunks)
-        starts_all = np.concatenate(start_chunks)
-        ends_all = np.concatenate(end_chunks)
-        if codes.size == 0:  # docs exist but none tokenized to anything
-            yield pd.DataFrame(
-                [doclen_sentinel_row(shard_id, np.concatenate(id_chunks),
-                                     np.concatenate(len_chunks))]
-            )
-            return
-        # input stream is doc-ascending with in-doc position order, so a
-        # single STABLE sort on the term code yields (term, doc, pos)
-        # next-token code per occurrence (stream is doc-contiguous):
-        # feeds the per-posting end blooms (phrase pruning, ref B15/Q8)
-        nxt = np.full(codes.size, -1, dtype=np.int64)
-        prv = np.full(codes.size, -1, dtype=np.int64)
-        same_doc = docs_rep[1:] == docs_rep[:-1]
-        nxt[:-1][same_doc] = codes[1:][same_doc]
-        prv[1:][same_doc] = codes[:-1][same_doc]
-        # input stream is doc-ascending with in-doc position order, so a
-        # single STABLE sort on the term code yields (term, doc, pos)
-        order = np.argsort(codes, kind="stable")
-        c, d, p = codes[order], docs_rep[order], pos_all[order]
-        st, en = starts_all[order], ends_all[order]
-        # posting boundaries: change of (term, doc)
-        new_posting = np.empty(len(c), dtype=bool)
-        new_posting[0] = True
-        np.logical_or(np.diff(c) != 0, np.diff(d) != 0, out=new_posting[1:])
-        posting_of = np.cumsum(new_posting) - 1
-        tfs_all = np.bincount(posting_of).astype(np.int64)
-        posting_doc = d[new_posting]
-        posting_code = c[new_posting]
-        # term boundaries over postings
-        term_breaks = np.flatnonzero(
-            np.diff(posting_code, prepend=posting_code[0] - 1) != 0
-        )
-        term_bounds = np.append(term_breaks, len(posting_code))
-        pos_starts = np.cumsum(tfs_all) - tfs_all
-        # per-posting end blooms: OR the next-token masks per posting
-        if with_blooms:
-            from wiser_spark.functions.bloom import (
-                fold_occurrence_blooms,
-                vocab_bloom_table,
-            )
-
-            vocab_bits = vocab_bloom_table(uniques)
-            p_starts_idx = np.flatnonzero(new_posting)
-            nxt_sorted = nxt[order]
-            occ_bits = np.where(
-                nxt_sorted >= 0, vocab_bits[np.maximum(nxt_sorted, 0)], np.uint64(0)
-            )
-            posting_blooms = fold_occurrence_blooms(occ_bits, p_starts_idx)
-            # begin blooms: same fold over the PRECEDING-token masks
-            # (reference builds both sides, bloom_filter.h:595-646)
-            prv_sorted = prv[order]
-            occ_bits_b = np.where(
-                prv_sorted >= 0, vocab_bits[np.maximum(prv_sorted, 0)], np.uint64(0)
-            )
-            posting_blooms_begin = fold_occurrence_blooms(occ_bits_b, p_starts_idx)
-        rows = []
-        for t_i in range(len(term_bounds) - 1):
-            lo, hi = term_bounds[t_i], term_bounds[t_i + 1]
-            sl = slice(pos_starts[lo], pos_starts[hi - 1] + tfs_all[hi - 1])
-            flat = p[sl]
-            # interleave the occurrence spans into [s,e,s,e,...]
-            flat_off = np.empty(2 * flat.size, dtype=np.int64)
-            flat_off[0::2] = st[sl]
-            flat_off[1::2] = en[sl]
-            term = uniques[posting_code[lo]]
-            rows.append(
-                _encode_term_flat(
-                    shard_id, term, posting_doc[lo:hi], tfs_all[lo:hi], flat,
-                    flat_off,
-                )
-            )
-            if with_blooms:
-                rows.append(
-                    bloom_row(shard_id, term, posting_blooms[lo:hi])
-                )
-                rows.append(
-                    bloom_row(
-                        shard_id, term, posting_blooms_begin[lo:hi],
-                        prefix=BLOOM_BEGIN_PREFIX,
-                    )
-                )
-        rows.append(
-            doclen_sentinel_row(
-                shard_id,
-                np.concatenate(id_chunks),
-                np.concatenate(len_chunks),
-            )
-        )
-        yield pd.DataFrame(rows)
 
     return parted.mapInArrow(
         lambda batches: _as_arrow(encode_partition(batches)), SEGMENT_SCHEMA
     )
+
+
+def encode_doc_batches(
+    arrow_batches, shard_id: int, content_col: str, with_blooms: bool
+) -> Iterator[pd.DataFrame]:
+    """One shard's Arrow batches -> segment-row DataFrames. Module-level
+    (not a closure) so it can be profiled/driven without a Spark task."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from wiser_spark.config import TOKEN_SPLIT_REGEX
+
+    # the ENTIRE tokenize+flatten+dictionary-encode pipeline runs in
+    # Arrow C++ — no Python string objects exist in the hot path
+    # (the earlier pandas/.findall variant was memory-bandwidth
+    # bound on PyObject churn and capped multi-core scaling)
+    from wiser_spark.functions.tokenize import token_spans_batch
+
+    code_chunks, doc_chunks, pos_chunks = [], [], []
+    start_chunks, end_chunks = [], []
+    id_chunks, len_chunks = [], []
+    vocab_chunks = []
+    for rb in arrow_batches:
+        ids_arr = rb.column(rb.schema.get_field_index("doc_id"))
+        content = rb.column(rb.schema.get_field_index(content_col))
+        ids = ids_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        low = pc.utf8_lower(content)
+        toks = pc.split_pattern_regex(low, pattern=TOKEN_SPLIT_REGEX)
+        counts_raw = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        flat_kept = pc.filter(flat, keep)
+        # per-doc token counts after dropping the empty split chunks
+        ends_raw = np.cumsum(counts_raw)
+        kept_cum = np.concatenate(([0], np.cumsum(keep_np)))
+        counts = kept_cum[ends_raw] - kept_cum[ends_raw - counts_raw]
+        total = int(counts.sum())
+        # dictionary-encode kept tokens (C++ hash); codes local to batch
+        denc = pc.dictionary_encode(flat_kept)
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        codes_local = denc.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        vocab_chunks.append(denc.dictionary)
+        code_chunks.append(codes_local)
+        doc_chunks.append(np.repeat(ids, counts))
+        ends = np.cumsum(counts)
+        pos_chunks.append(
+            np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
+        )
+        # byte spans of the SAME token stream (offsets column):
+        # maximal [a-z0-9_] runs == non-empty split pieces, asserted
+        sp_counts, sp_starts, sp_ends = token_spans_batch(low)
+        assert sp_starts.size == total and np.array_equal(
+            sp_counts, counts
+        ), "token spans misaligned with split tokens"
+        start_chunks.append(sp_starts)
+        end_chunks.append(sp_ends)
+        id_chunks.append(ids)
+        # reference BodyLength(): non-empty ' '-split chunks (B3)
+        len_chunks.append(
+            pc.count_substring_regex(content, "[^ ]+")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+    if not id_chunks or sum(len(c) for c in id_chunks) == 0:
+        yield pd.DataFrame(
+            columns=[f.split()[0] for f in SEGMENT_SCHEMA.split(", ")]
+        )
+        return
+    # unify per-batch dictionaries into one partition vocabulary
+    offsets = np.zeros(len(vocab_chunks), dtype=np.int64)
+    sizes = np.array([len(v) for v in vocab_chunks], dtype=np.int64)
+    offsets[1:] = np.cumsum(sizes)[:-1]
+    all_vocab = pa.concat_arrays(
+        [v.cast(pa.string()) for v in vocab_chunks]
+    )
+    # global codes: re-encode the concatenated vocab, map local->global
+    genc = pc.dictionary_encode(all_vocab)
+    if isinstance(genc, pa.ChunkedArray):
+        genc = genc.combine_chunks()
+    local_to_global = genc.indices.to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    global_vocab = genc.dictionary
+    # sort the vocabulary so segment rows come out in term order —
+    # in Arrow C++ (UTF-8 byte order == code-point order, identical
+    # to a Python-string sort); the ONE Python-string materialization
+    # left is `uniques` itself, which every segment row's term field
+    # and the per-unique-term md5 bloom table need anyway
+    sort_perm = (
+        pc.sort_indices(global_vocab)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    rank_of = np.empty(len(sort_perm), dtype=np.int64)
+    rank_of[sort_perm] = np.arange(len(sort_perm))
+    uniques = np.asarray(
+        global_vocab.take(pa.array(sort_perm)).to_pylist(), dtype=object
+    )
+    codes = np.concatenate(
+        [
+            rank_of[local_to_global[offsets[i] + code_chunks[i]]]
+            for i in range(len(code_chunks))
+        ]
+    )
+    docs_rep = np.concatenate(doc_chunks)
+    pos_all = np.concatenate(pos_chunks)
+    starts_all = np.concatenate(start_chunks)
+    ends_all = np.concatenate(end_chunks)
+    if codes.size == 0:  # docs exist but none tokenized to anything
+        yield pd.DataFrame(
+            [doclen_sentinel_row(shard_id, np.concatenate(id_chunks),
+                                 np.concatenate(len_chunks))]
+        )
+        return
+    # input stream is doc-ascending with in-doc position order, so a
+    # single STABLE sort on the term code yields (term, doc, pos)
+    # next-token code per occurrence (stream is doc-contiguous):
+    # feeds the per-posting end blooms (phrase pruning, ref B15/Q8)
+    nxt = np.full(codes.size, -1, dtype=np.int64)
+    prv = np.full(codes.size, -1, dtype=np.int64)
+    same_doc = docs_rep[1:] == docs_rep[:-1]
+    nxt[:-1][same_doc] = codes[1:][same_doc]
+    prv[1:][same_doc] = codes[:-1][same_doc]
+    # input stream is doc-ascending with in-doc position order, so a
+    # single STABLE sort on the term code yields (term, doc, pos)
+    order = np.argsort(codes, kind="stable")
+    c, d, p = codes[order], docs_rep[order], pos_all[order]
+    st, en = starts_all[order], ends_all[order]
+    # posting boundaries: change of (term, doc)
+    new_posting = np.empty(len(c), dtype=bool)
+    new_posting[0] = True
+    np.logical_or(np.diff(c) != 0, np.diff(d) != 0, out=new_posting[1:])
+    posting_of = np.cumsum(new_posting) - 1
+    tfs_all = np.bincount(posting_of).astype(np.int64)
+    posting_doc = d[new_posting]
+    posting_code = c[new_posting]
+    # term boundaries over postings
+    term_breaks = np.flatnonzero(
+        np.diff(posting_code, prepend=posting_code[0] - 1) != 0
+    )
+    term_bounds = np.append(term_breaks, len(posting_code))
+    pos_starts = np.cumsum(tfs_all) - tfs_all
+    # per-posting end blooms: OR the next-token masks per posting
+    if with_blooms:
+        from wiser_spark.functions.bloom import (
+            fold_occurrence_blooms,
+            vocab_bloom_table,
+        )
+
+        vocab_bits = vocab_bloom_table(uniques)
+        p_starts_idx = np.flatnonzero(new_posting)
+        nxt_sorted = nxt[order]
+        occ_bits = np.where(
+            nxt_sorted >= 0, vocab_bits[np.maximum(nxt_sorted, 0)], np.uint64(0)
+        )
+        posting_blooms = fold_occurrence_blooms(occ_bits, p_starts_idx)
+        # begin blooms: same fold over the PRECEDING-token masks
+        # (reference builds both sides, bloom_filter.h:595-646)
+        prv_sorted = prv[order]
+        occ_bits_b = np.where(
+            prv_sorted >= 0, vocab_bits[np.maximum(prv_sorted, 0)], np.uint64(0)
+        )
+        posting_blooms_begin = fold_occurrence_blooms(occ_bits_b, p_starts_idx)
+    rows = []
+    for t_i in range(len(term_bounds) - 1):
+        lo, hi = term_bounds[t_i], term_bounds[t_i + 1]
+        sl = slice(pos_starts[lo], pos_starts[hi - 1] + tfs_all[hi - 1])
+        flat = p[sl]
+        # interleave the occurrence spans into [s,e,s,e,...]
+        flat_off = np.empty(2 * flat.size, dtype=np.int64)
+        flat_off[0::2] = st[sl]
+        flat_off[1::2] = en[sl]
+        term = uniques[posting_code[lo]]
+        rows.append(
+            _encode_term_flat(
+                shard_id, term, posting_doc[lo:hi], tfs_all[lo:hi], flat,
+                flat_off,
+            )
+        )
+        if with_blooms:
+            rows.append(
+                bloom_row(shard_id, term, posting_blooms[lo:hi])
+            )
+            rows.append(
+                bloom_row(
+                    shard_id, term, posting_blooms_begin[lo:hi],
+                    prefix=BLOOM_BEGIN_PREFIX,
+                )
+            )
+    rows.append(
+        doclen_sentinel_row(
+            shard_id,
+            np.concatenate(id_chunks),
+            np.concatenate(len_chunks),
+        )
+    )
+    yield pd.DataFrame(rows)
 
 
 def _arrow_segment_schema():

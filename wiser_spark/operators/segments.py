@@ -54,7 +54,7 @@ from wiser_spark.functions.packing import (
 from wiser_spark.functions.varint import (
     varint_decode,
     varint_encode,
-    varint_lengths,
+    varint_encode_with_lengths,
 )
 from wiser_spark.operators.docstats import CorpusStats
 
@@ -84,7 +84,9 @@ BLOOM_PREFIXES = (BLOOM_PREFIX, BLOOM_BEGIN_PREFIX)
 def bloom_row(
     shard_id: int, term: str, blooms, prefix: str = BLOOM_PREFIX
 ) -> dict:
-    blob, offs = encode_column(np.asarray(blooms, dtype=np.uint64))
+    # blooms are full-range uint64 masks: force width 64 so the frames
+    # pack as raw little-endian bytes (memcpy) instead of bit games
+    blob, offs = encode_column(np.asarray(blooms, dtype=np.uint64), force_width=64)
     return {
         "shard_id": shard_id,
         "term": prefix + term,
@@ -151,8 +153,7 @@ def _delta_varint_runs(
     each ``bag_starts`` value) — the skip entries for partial decode."""
     deltas = np.diff(flat, prepend=0)
     deltas[run_starts] = flat[run_starts]  # run's first value: delta vs 0
-    blob = varint_encode(deltas)
-    lens = varint_lengths(deltas)
+    blob, lens = varint_encode_with_lengths(deltas)
     val_offs = np.cumsum(lens) - lens
     return blob, val_offs[bag_starts]
 
