@@ -336,6 +336,55 @@ def _q_events_sessionize(spark, sf_dir):
     return sessionize_batch(events, gap_minutes=30)
 
 
+# ------------------------------------------------- multimodal operators
+# the documents table has no real media column; the entries treat the
+# UTF-8 bytes of `text` as the opaque blob — the plumbing under test
+# (binary schema, JVM metadata expressions, Arrow batch UDFs, stride
+# sampling) is exactly what a real image/audio column would flow through
+
+
+def _blobs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("id"), F.col("text").cast("binary").alias("blob")
+    )
+
+
+def _q_multimodal_metadata(spark, sf_dir):
+    from wiser_spark.operators.multimodal import binary_metadata
+
+    return binary_metadata(_blobs(spark, sf_dir))
+
+
+def _q_multimodal_frame_sample(spark, sf_dir):
+    from wiser_spark.operators.multimodal import frame_sample_stub
+
+    return frame_sample_stub(_blobs(spark, sf_dir), every_n_bytes=64)
+
+
+def _q_multimodal_features(spark, sf_dir):
+    """Deterministic fake-feature extraction (np.random seeded by blob
+    md5 — not SQL-expressible, so no oracle entry: the driver records
+    the weaker rows-only check for this one)."""
+    from wiser_spark.operators.multimodal import extract_features
+
+    return extract_features(_blobs(spark, sf_dir), dim=16, fake=True)
+
+
+MULTIMODAL_METADATA_SQL = """
+SELECT doc_id AS id, length(text)::INT AS n_bytes,
+       lower(hex(substr(text, 1, 8))) AS head_hex,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+# python range(0, max(len,1), 64) semantics: >=1 sample even for empty
+MULTIMODAL_FRAME_SAMPLE_SQL = """
+SELECT doc_id AS id, i::INT AS sample_idx, (i*64)::BIGINT AS offset,
+       sha256(substr(text, (i*64+1)::BIGINT, 64)) AS chunk_sha256
+FROM documents, UNNEST(range(0, greatest(ceil(length(text)/64.0)::BIGINT, 1))) t(i)
+"""
+
+
 # a small mixed-shape query log answered in ONE batched job
 BATCH_LOG: list[tuple[int, list[str], bool]] = [
     (0, ["key"], False),
@@ -401,6 +450,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_from_segments_mapside": _q_topk_mapside,
         "bm25_snippets": _q_bm25_snippets,
         "bm25_doc_freqs": _q_bm25_doc_freqs,
+        "multimodal_metadata": _q_multimodal_metadata,
+        "multimodal_frame_sample": _q_multimodal_frame_sample,
+        "multimodal_features": _q_multimodal_features,
     }
     for name, (terms, is_phrase) in BM25_QUERIES.items():
         out[name] = _bm25_query(terms, is_phrase)
@@ -470,6 +522,10 @@ FROM sess GROUP BY user_id, session_id
             ["table", "part"], k=10, params=PARAMS, is_phrase=True
         ),
         "bm25_doc_freqs": osql.doc_freqs_sql(SNIPPET_DF_TERMS),
+        "multimodal_metadata": MULTIMODAL_METADATA_SQL,
+        "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_SQL,
+        # multimodal_features intentionally absent: md5-seeded RNG fake
+        # features aren't SQL-expressible -> rows-only check
         "bm25_batch_log": " UNION ALL ".join(
             f"SELECT {qid} AS query_id, * FROM ("
             + osql.bm25_topk_sql(terms, k=10, params=PARAMS, is_phrase=ph)
