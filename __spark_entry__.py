@@ -408,6 +408,53 @@ def _q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the reference-style text query log (quoted line => phrase), parsed by
+# the S8 source and answered end-to-end through the segment batch path
+QUERY_LOG_TEXT = """key
+dup key
+spark window sort
+"table part"
+key zz_no_such_term_zz
+"batch window spark"
+"""
+
+
+def _q_bm25_from_querylog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end S8 -> Q12: write the text query log, parse it with the
+    query-log source, answer the whole log via search_batch."""
+    import hashlib
+    import tempfile
+
+    from wiser_spark.sources.querylog import load_query_log
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/wiser_entry_qlog_{tag}.txt"
+    with open(path, "w") as f:
+        f.write(QUERY_LOG_TEXT)
+    queries = [
+        (q.query_id, list(q.terms), q.is_phrase) for q in load_query_log(path)
+    ]
+    idx = _mapside_index(spark, sf_dir)
+    out = idx.search_batch(queries, k=10)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
+def _querylog_oracle_sql() -> str:
+    from wiser_spark.sources.querylog import parse_query_line
+
+    parts = []
+    for i, line in enumerate(QUERY_LOG_TEXT.splitlines()):
+        terms, is_phrase = parse_query_line(line)
+        parts.append(
+            f"SELECT {i} AS query_id, * FROM ("
+            + osql.bm25_topk_sql(terms, k=10, params=PARAMS, is_phrase=is_phrase)
+            + ")"
+        )
+    return " UNION ALL ".join(parts)
+
+
 def _q_bm25_batch_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same query log answered by SegmentIndex.search_batch — ONE
     pass over the segment table for the whole log (the QPS path)."""
@@ -450,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_from_segments_mapside": _q_topk_mapside,
         "bm25_snippets": _q_bm25_snippets,
         "bm25_doc_freqs": _q_bm25_doc_freqs,
+        "bm25_from_querylog": _q_bm25_from_querylog,
         "multimodal_metadata": _q_multimodal_metadata,
         "multimodal_frame_sample": _q_multimodal_frame_sample,
         "multimodal_features": _q_multimodal_features,
@@ -522,6 +570,7 @@ FROM sess GROUP BY user_id, session_id
             ["table", "part"], k=10, params=PARAMS, is_phrase=True
         ),
         "bm25_doc_freqs": osql.doc_freqs_sql(SNIPPET_DF_TERMS),
+        "bm25_from_querylog": _querylog_oracle_sql(),
         "multimodal_metadata": MULTIMODAL_METADATA_SQL,
         "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_SQL,
         # multimodal_features intentionally absent: md5-seeded RNG fake

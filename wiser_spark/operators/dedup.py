@@ -209,32 +209,39 @@ SIMHASH_BITS = 48
 
 
 def simhash(docs: DataFrame, content_col: str = "content") -> DataFrame:
-    """(doc_id, simhash): 48-bit tf-weighted SimHash of the token set."""
+    """(doc_id, simhash): 48-bit tf-weighted SimHash of the token set.
+
+    NO bit explode: each (doc, term) row carries one signed tf per bit
+    (a 48-wide column list), and the per-doc vote is 48 element-wise
+    SUM aggregates over ONE shuffle — rows through the exchange stay
+    O(doc x distinct terms), not 48x that (the round-1 plan's blowup)."""
     toks = docs.select("doc_id", F.explode(tokens_col(F.col(content_col))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     h = md5_long(F.col("term"))
-    bit = F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit")
-    # (h >> bit) & 1 with a column shift amount: exact power-of-two
+    # (h >> bit) & 1 at a literal shift per column: exact power-of-two
     # division in doubles (h < 2^60 keeps floor exact for bit >= 8; for
-    # bits 0..7 h/2^bit can exceed 2^53 — mask h to the low 48 bits first
-    # so every division is exact)
+    # bits 0..7 h/2^bit can exceed 2^53 — mask h to the low 48 bits
+    # first so every division is exact)
     h48 = h.bitwiseAND(F.lit((1 << SIMHASH_BITS) - 1))
-    contrib = tf.select("doc_id", h48.alias("h"), "tf", bit).select(
-        "doc_id", "bit",
-        (F.when(
-            F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("bit").cast("double")))
-            .cast("long").bitwiseAND(F.lit(1)) == 1,
-            F.col("tf"),
-        ).otherwise(-F.col("tf"))).alias("w"),
+    base = tf.select("doc_id", h48.alias("h"), "tf")
+
+    def w_of(b: int):
+        bit_set = (
+            F.floor(F.col("h") / F.lit(float(1 << b))).cast("long")
+            .bitwiseAND(F.lit(1)) == 1
+        )
+        return F.when(bit_set, F.col("tf")).otherwise(-F.col("tf"))
+
+    votes = base.groupBy("doc_id").agg(
+        *[F.sum(w_of(b)).alias(f"v{b}") for b in range(SIMHASH_BITS)]
     )
-    votes = contrib.groupBy("doc_id", "bit").agg(F.sum("w").alias("v"))
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("v") > 0,
-                   F.pow(F.lit(2.0), F.col("bit").cast("double")).cast("long"))
-            .otherwise(F.lit(0))
-        ).alias("simhash")
-    )
+    fp = None
+    for b in range(SIMHASH_BITS):
+        term_b = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term_b if fp is None else fp + term_b
+    return votes.select("doc_id", fp.alias("simhash"))
 
 
 # SimHash banding: 48 bits -> 4 x 12-bit keys. Any pair within Hamming
