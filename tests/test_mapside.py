@@ -45,6 +45,99 @@ def test_meta_and_dictionary(spark, mapside_dir, oracle):
     assert "" not in d  # sentinel rows excluded from the dictionary
 
 
+def test_batched_encode_byte_identical_to_reference():
+    """The vocabulary-batched encoder must produce rows BYTE-IDENTICAL
+    to the per-term reference encode (_encode_term_flat / bloom_row) —
+    including df >= PACK_SIZE terms (framed path), df < PACK_SIZE
+    terms (batched tail path), and both bloom sides."""
+    import random
+
+    import numpy as np
+    import pyarrow as pa
+
+    from wiser_spark.functions.bloom import vocab_bloom_table
+    from wiser_spark.operators.mapside import encode_doc_batches
+    from wiser_spark.operators.segments import (
+        BLOOM_BEGIN_PREFIX,
+        BLOOM_PREFIX,
+        DOCLEN_TERM,
+        _encode_term_flat,
+        bloom_row,
+    )
+
+    rnd = random.Random(3)
+    rare = [f"v{i:04d}" for i in range(400)]
+    docs = [
+        " ".join(
+            "hot" if rnd.random() < 0.5 else rare[rnd.randrange(400)]
+            for _ in range(12)
+        )
+        for _ in range(300)  # 'hot' df ~300 >= 128; rare terms df ~5
+    ]
+    rb = pa.record_batch(
+        {"doc_id": pa.array(range(300), type=pa.int64()),
+         "content": pa.array(docs)}
+    )
+    out = list(encode_doc_batches([rb], 7, "content", True))
+    got = {}
+    for pdf in out:
+        for _, r in pdf.iterrows():
+            got[r["term"]] = r
+
+    # rebuild expected rows from first principles with the reference
+    # per-term encoder
+    import re
+
+    per_term: dict[str, dict[int, list[tuple[int, int, int]]]] = {}
+    for did, text in enumerate(docs):
+        for pos, m in enumerate(re.finditer(r"[a-z0-9_]+", text.lower())):
+            per_term.setdefault(m.group(), {}).setdefault(did, []).append(
+                (pos, m.start(), m.end())
+            )
+    vocab = sorted(per_term)
+    bits = vocab_bloom_table(np.asarray(vocab, dtype=object))
+    code = {t: i for i, t in enumerate(vocab)}
+    tok_stream = [
+        [m.group() for m in re.finditer(r"[a-z0-9_]+", t.lower())]
+        for t in docs
+    ]
+    n_checked = 0
+    for t in vocab:
+        doc_ids = np.array(sorted(per_term[t]), dtype=np.int64)
+        tfs = np.array([len(per_term[t][d]) for d in doc_ids], dtype=np.int64)
+        flat_pos = np.array(
+            [p for d in doc_ids for (p, _, _) in per_term[t][d]], dtype=np.int64
+        )
+        flat_off = np.array(
+            [v for d in doc_ids for (_, s, e) in per_term[t][d] for v in (s, e)],
+            dtype=np.int64,
+        )
+        want = _encode_term_flat(7, t, doc_ids, tfs, flat_pos, flat_off)
+        have = got[t]
+        for k, v in want.items():
+            hv = have[k]
+            assert (list(hv) if isinstance(v, list) else hv) == v, (t, k)
+        # blooms: end = next-token masks, begin = previous-token masks
+        for pref, delta in ((BLOOM_PREFIX, 1), (BLOOM_BEGIN_PREFIX, -1)):
+            blooms = []
+            for d in doc_ids:
+                acc = np.uint64(0)
+                toks = tok_stream[d]
+                for (p, _, _) in per_term[t][d]:
+                    q = p + delta
+                    if 0 <= q < len(toks):
+                        acc |= bits[code[toks[q]]]
+                blooms.append(acc)
+            wantb = bloom_row(7, t, np.array(blooms, dtype=np.uint64), prefix=pref)
+            haveb = got[pref + t]
+            for k, v in wantb.items():
+                hv = haveb[k]
+                assert (list(hv) if isinstance(v, list) else hv) == v, (t, pref, k)
+        n_checked += 1
+    assert n_checked == len(vocab) and DOCLEN_TERM in got
+    assert max(len(per_term["hot"]), 0) >= 128  # framed path exercised
+
+
 QUERIES = [
     (["return"], False),
     (["return", "import"], False),

@@ -153,6 +153,22 @@ def encode_column(
     return b"".join(parts), np.asarray(offsets, dtype=np.int64)
 
 
+def _scalar_varint(x: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = x & 0x7F
+        x >>= 7
+        out.append(b | (0x80 if x else 0))
+        if not x:
+            return bytes(out)
+
+
+def varint_tail_box(payload: bytes) -> bytes:
+    """Wrap a varint payload as a column TAIL blob — byte-identical to
+    encode_column() for columns shorter than PACK_SIZE."""
+    return bytes([VINTS_MAGIC]) + _scalar_varint(len(payload)) + payload
+
+
 def decode_column(blob: bytes | np.ndarray, count: int, offset: int = 0) -> np.ndarray:
     """Decode ``count`` values of a column blob starting at byte ``offset``."""
     buf = np.frombuffer(blob, dtype=np.uint8) if not isinstance(blob, np.ndarray) else blob

@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from wiser_spark.config import IndexConfig
+from wiser_spark.config import PACK_SIZE, IndexConfig
 from wiser_spark.operators.segments import (
     BLOOM_BEGIN_PREFIX,
     BLOOM_PREFIX,
@@ -252,40 +252,129 @@ def encode_doc_batches(
             prv_sorted >= 0, vocab_bits[np.maximum(prv_sorted, 0)], np.uint64(0)
         )
         posting_blooms_begin = fold_occurrence_blooms(occ_bits_b, p_starts_idx)
-    rows = []
-    for t_i in range(len(term_bounds) - 1):
-        lo, hi = term_bounds[t_i], term_bounds[t_i + 1]
-        sl = slice(pos_starts[lo], pos_starts[hi - 1] + tfs_all[hi - 1])
-        flat = p[sl]
-        # interleave the occurrence spans into [s,e,s,e,...]
-        flat_off = np.empty(2 * flat.size, dtype=np.int64)
-        flat_off[0::2] = st[sl]
-        flat_off[1::2] = en[sl]
-        term = uniques[posting_code[lo]]
-        rows.append(
-            _encode_term_flat(
+    # ---- term encode, VOCABULARY-BATCHED. A real code corpus has
+    # millions of distinct terms per shard and almost all of them have
+    # df < PACK_SIZE (pure varint-tail columns, no frames). Encoding
+    # those one Python call at a time was ~200 us/term — the dominant
+    # cost at realistic vocabularies — so every tail column is encoded
+    # in ONE flat varint pass over all terms (delta resets at run
+    # starts) and sliced per term by byte offsets. Only the few
+    # df >= PACK_SIZE terms (stopword-like) take the framed per-term
+    # path. Output rows are BYTE-IDENTICAL to _encode_term_flat /
+    # bloom_row and keep the same in-shard order (term, end-bloom,
+    # begin-bloom ascending by term; sentinel last) — pinned by
+    # test_mapside byte-identity.
+    from wiser_spark.functions.packing import varint_tail_box
+    from wiser_spark.functions.varint import varint_encode_with_lengths
+
+    term_lo, term_hi = term_bounds[:-1], term_bounds[1:]
+    n_terms = len(term_lo)
+    occ_cum = np.concatenate(([0], np.cumsum(tfs_all)))
+    occ_lo, occ_hi = occ_cum[term_lo], occ_cum[term_hi]
+
+    def _flat_stream(vals, run_starts):
+        deltas = np.diff(vals, prepend=0)
+        deltas[run_starts] = vals[run_starts]
+        blob, lens = varint_encode_with_lengths(deltas)
+        bounds = np.concatenate(([0], np.cumsum(lens)))
+        return blob, bounds
+
+    docid_blob_all, docid_b = _flat_stream(posting_doc, term_lo)
+    tf_blob_all, tf_lens = varint_encode_with_lengths(tfs_all)
+    tf_b = np.concatenate(([0], np.cumsum(tf_lens)))
+    pos_blob_all, pos_b = _flat_stream(p, pos_starts)
+    off_flat = np.empty(2 * p.size, dtype=np.int64)
+    off_flat[0::2] = st
+    off_flat[1::2] = en
+    off_blob_all, off_b = _flat_stream(off_flat, 2 * pos_starts)
+    if with_blooms:
+        be_blob_all, be_lens = varint_encode_with_lengths(posting_blooms)
+        be_b = np.concatenate(([0], np.cumsum(be_lens)))
+        bb_blob_all, bb_lens = varint_encode_with_lengths(posting_blooms_begin)
+        bb_b = np.concatenate(([0], np.cumsum(bb_lens)))
+
+    R = 3 if with_blooms else 1
+    n_rows = n_terms * R
+    obj_cols = (
+        "term", "docids_blob", "tfs_blob", "pos_blob", "off_blob",
+        "skip_predocs", "skip_docid_offs", "skip_tf_offs",
+        "skip_pos_offs", "skip_off_offs",
+    )
+    col = {k: np.empty(n_rows, dtype=object) for k in obj_cols}
+    df_col = np.empty(n_rows, dtype=np.int64)
+    # plain-python views: scalar indexing of numpy arrays is ~10x slower
+    tl, th = term_lo.tolist(), term_hi.tolist()
+    ol, oh = occ_lo.tolist(), occ_hi.tolist()
+    db, tb, pb, ob = docid_b.tolist(), tf_b.tolist(), pos_b.tolist(), off_b.tolist()
+    if with_blooms:
+        beb, bbb = be_b.tolist(), bb_b.tolist()
+    code_l = posting_code[term_lo].tolist()
+    ZERO, EMPTY = [0], []
+    for t in range(n_terms):
+        lo, hi = tl[t], th[t]
+        term = uniques[code_l[t]]
+        base = t * R
+        df = hi - lo
+        df_col[base] = df
+        col["term"][base] = term
+        if df < PACK_SIZE:  # pure-tail fast path
+            col["docids_blob"][base] = varint_tail_box(
+                docid_blob_all[db[lo]:db[hi]]
+            )
+            col["tfs_blob"][base] = varint_tail_box(tf_blob_all[tb[lo]:tb[hi]])
+            col["pos_blob"][base] = pos_blob_all[pb[ol[t]]:pb[oh[t]]]
+            col["off_blob"][base] = off_blob_all[ob[2 * ol[t]]:ob[2 * oh[t]]]
+            for k in ("skip_predocs", "skip_docid_offs", "skip_tf_offs",
+                      "skip_pos_offs", "skip_off_offs"):
+                col[k][base] = ZERO
+        else:  # framed path (few stopword-scale terms)
+            sl = slice(ol[t], oh[t])
+            flat = p[sl]
+            flat_off = off_flat[2 * ol[t]:2 * oh[t]]
+            r = _encode_term_flat(
                 shard_id, term, posting_doc[lo:hi], tfs_all[lo:hi], flat,
                 flat_off,
             )
-        )
+            for k in ("docids_blob", "tfs_blob", "pos_blob", "off_blob",
+                      "skip_predocs", "skip_docid_offs", "skip_tf_offs",
+                      "skip_pos_offs", "skip_off_offs"):
+                col[k][base] = r[k]
         if with_blooms:
-            rows.append(
-                bloom_row(shard_id, term, posting_blooms[lo:hi])
-            )
-            rows.append(
-                bloom_row(
-                    shard_id, term, posting_blooms_begin[lo:hi],
-                    prefix=BLOOM_BEGIN_PREFIX,
-                )
-            )
-    rows.append(
-        doclen_sentinel_row(
-            shard_id,
-            np.concatenate(id_chunks),
-            np.concatenate(len_chunks),
-        )
+            for j, (pref, blob_all, bounds) in enumerate(
+                ((BLOOM_PREFIX, be_blob_all, beb),
+                 (BLOOM_BEGIN_PREFIX, bb_blob_all, bbb)), start=1
+            ):
+                row = base + j
+                col["term"][row] = pref + term
+                df_col[row] = df
+                if df < PACK_SIZE:
+                    col["tfs_blob"][row] = varint_tail_box(
+                        blob_all[bounds[lo]:bounds[hi]]
+                    )
+                    col["skip_tf_offs"][row] = ZERO
+                else:
+                    blooms = (
+                        posting_blooms if j == 1 else posting_blooms_begin
+                    )
+                    br = bloom_row(shard_id, term, blooms[lo:hi], prefix=pref)
+                    col["tfs_blob"][row] = br["tfs_blob"]
+                    col["skip_tf_offs"][row] = br["skip_tf_offs"]
+                col["docids_blob"][row] = b""
+                col["pos_blob"][row] = b""
+                col["off_blob"][row] = b""
+                for k in ("skip_predocs", "skip_docid_offs",
+                          "skip_pos_offs", "skip_off_offs"):
+                    col[k][row] = EMPTY
+    main = pd.DataFrame(
+        {"shard_id": np.full(n_rows, shard_id, dtype=np.int64),
+         "df_shard": df_col, **col}
     )
-    yield pd.DataFrame(rows)
+    sentinel = pd.DataFrame(
+        [doclen_sentinel_row(
+            shard_id, np.concatenate(id_chunks), np.concatenate(len_chunks)
+        )]
+    )
+    yield pd.concat([main, sentinel], ignore_index=True)
 
 
 def _arrow_segment_schema():
