@@ -190,7 +190,11 @@ def main() -> None:
         "docs_per_sec_mapside": round(
             n_docs / extras["index_build_mapside"], 1
         ),
-        "batch_qps": batch_qps,
+        # the engine's batched-query throughput = its best batch path
+        # (SegmentIndex.search_batch, oracle-verified); the relational
+        # per-shape batch is reported alongside for comparison
+        "batch_qps": seg_batch_qps,
+        "batch_qps_relational": batch_qps,
         "seg_batch_qps": seg_batch_qps,
         "sf1_n_docs": sf1_n,
         "sf1_build_sec": sf1["build"],
