@@ -1,4 +1,6 @@
-"""Aggregate BENCH/scaling_{N,4N}.json -> BENCH/BASELINE.md."""
+"""Aggregate BENCH/scaling_{N,4N}.json -> BENCH/SCALING_REPORT.md
+(BENCH/BASELINE.md is the curated round report; this writes the raw
+pair summary without clobbering it)."""
 
 import json
 import sys
@@ -9,10 +11,23 @@ n_hi = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 r8 = json.load(open(f"BENCH/scaling_{n_lo}.json"))
 r32 = json.load(open(f"BENCH/scaling_{n_hi}.json"))
 
+latency_md = ""
+if "query_p50" in r8 and "query_p50" in r32:
+    latency_md = f"""## Query latency (segment path, warm cache, 7-query BM25 suite x3)
+
+| treatment | p50 (s) | p99 (s) |
+|---|---|---|
+| local[{r8['cpus']}]  | {r8['query_p50']} | {r8['query_p99']} |
+| local[{r32['cpus']}] | {r32['query_p50']} | {r32['query_p99']} |
+
+Per-query warm latencies (local[{r32['cpus']}]):
+{json.dumps(r32['queries_warm'], indent=2)}
+"""
+
 speedup = r8["build_sec"] / r32["build_sec"]
 efficiency = speedup / (r32["cpus"] / r8["cpus"])
 
-md = f"""# BENCH/BASELINE — measured performance of wiser_spark
+md = f"""# BENCH/SCALING_REPORT — raw N vs 4N pair summary
 
 Generated {date.today()} by `scripts/run_scaling.sh` (spark-submit
 --py-files, identical input at both parallelism levels; this sandbox has
@@ -30,16 +45,7 @@ tokenize -> postings -> docstats -> dictionary -> {128}-shard segment write)
 **Speedup {r8['cpus']} -> {r32['cpus']} cores: {speedup:.2f}x of 4x ideal;
 scaling efficiency = {efficiency:.2f}** (north-rule gate: >= 0.8).
 
-## Query latency (segment path, warm cache, 7-query BM25 suite x3)
-
-| treatment | p50 (s) | p99 (s) |
-|---|---|---|
-| local[{r8['cpus']}]  | {r8['query_p50']} | {r8['query_p99']} |
-| local[{r32['cpus']}] | {r32['query_p50']} | {r32['query_p99']} |
-
-Per-query warm latencies (local[{r32['cpus']}]):
-{json.dumps(r32['queries_warm'], indent=2)}
-
+{latency_md}
 ## Reference comparison
 
 The reference (junhe/wiser) publishes only relative numbers vs
@@ -50,6 +56,6 @@ is the distributed replacement — the numbers above are the
 corresponding measured throughputs in this sandbox.
 """
 
-with open("BENCH/BASELINE.md", "w") as f:
+with open("BENCH/SCALING_REPORT.md", "w") as f:
     f.write(md)
 print(md)
