@@ -60,7 +60,13 @@ def exact_dedup(docs: DataFrame, content_col: str = "content") -> DataFrame:
 def shingles(
     docs: DataFrame, k: int = 3, content_col: str = "content"
 ) -> DataFrame:
-    """Distinct token k-grams per doc: (doc_id, shingle)."""
+    """Distinct HASHED token k-grams per doc: (doc_id, shingle BIGINT).
+
+    The 60-bit md5 hash is taken at the source so every downstream
+    join/set shuffles 8-byte longs instead of multi-word strings (the
+    same hash the DuckDB oracle computes; a collision — ~n^2/2^60 —
+    would affect both engines identically, so parity holds by
+    construction)."""
     toks = tokens_col(F.col(content_col))
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - k),
@@ -68,7 +74,8 @@ def shingles(
     )
     return (
         docs.filter(F.size(toks) >= k)
-        .select("doc_id", F.explode(grams).alias("shingle"))
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .select("doc_id", md5_long(F.col("gram")).alias("shingle"))
         .distinct()
     )
 
@@ -159,21 +166,24 @@ def ngram_jaccard_dedup(
 def minhash_signatures(
     sh: DataFrame, num_hashes: int = 32
 ) -> DataFrame:
-    """(doc_id, i, minhash): H permutation-style minhashes per doc.
+    """(doc_id, mh0..mh{H-1}): H permutation-style minhashes per doc,
+    WIDE — H min-aggregates over ONE shuffle, no H-x row explode (the
+    round-1 long-format plan pushed H rows per shingle through the
+    exchange).
 
     h_i(x) = (a_i * x + b_i) mod P over the 60-bit md5 value of the
-    shingle; a_i, b_i derived from i so both engines regenerate them.
+    shingle (shingles() already emits that hash); a_i, b_i derived from
+    i so both engines regenerate them.
     """
-    x = md5_long(F.col("shingle")) % MERSENNE_P
-    hashed = sh.select("doc_id", x.alias("x"))
-    i = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i")
-    expanded = hashed.select("doc_id", "x", i)
-    a = ((F.col("i") + 1) * HASH_MULT_A) % MERSENNE_P
-    b = ((F.col("i") + 1) * HASH_MULT_B) % MERSENNE_P
-    h = (a * F.col("x") + b) % MERSENNE_P
-    return expanded.select("doc_id", "i", h.alias("h")).groupBy("doc_id", "i").agg(
-        F.min("h").alias("minhash")
-    )
+    x = F.col("shingle") % MERSENNE_P
+    aggs = []
+    for i in range(num_hashes):
+        a = ((i + 1) * HASH_MULT_A) % MERSENNE_P
+        b = ((i + 1) * HASH_MULT_B) % MERSENNE_P
+        aggs.append(
+            F.min((F.lit(a) * x + F.lit(b)) % MERSENNE_P).alias(f"mh{i}")
+        )
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_dedup(
@@ -189,9 +199,19 @@ def minhash_lsh_dedup(
     assert num_hashes % bands == 0
     sh = shingles(docs, k, content_col).cache()
     sig = minhash_signatures(sh, num_hashes)
-    banded = sig.groupBy("doc_id", (F.col("i") / (num_hashes // bands)).cast("int").alias("band")).agg(
-        F.concat_ws("_", F.sort_array(F.collect_list(
-            F.concat_ws(":", F.col("i"), F.col("minhash"))))).alias("key")
+    r = num_hashes // bands
+    # band key per table: the "i:minhash" strings of the band, sorted
+    # lexically — identical bytes to the round-1 collect_list formulation
+    # and to the DuckDB oracle's string_agg(... ORDER BY)
+    band_keys = F.array(*[
+        F.concat_ws("_", F.sort_array(F.array(*[
+            F.concat_ws(":", F.lit(str(i)), F.col(f"mh{i}"))
+            for i in range(bnd * r, (bnd + 1) * r)
+        ])))
+        for bnd in range(bands)
+    ])
+    banded = sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "key")
     )
     left = banded.select(F.col("doc_id").alias("doc_a"), "band", "key")
     right = banded.select(F.col("doc_id").alias("doc_b"), "band", "key")

@@ -33,10 +33,12 @@ def _md5l(expr: str) -> str:
 
 
 def _shingles(k: int = 3) -> str:
+    # HASHED shingles, mirroring dedup.shingles(): 60-bit md5 longs so
+    # the joins compare 8-byte keys on both engines
     gram = " || ' ' || ".join(f"toks[i+{j}]" for j in range(k))
     return f"""
 sh AS (
-  SELECT DISTINCT doc_id, {gram} AS shingle
+  SELECT DISTINCT doc_id, {_md5l(gram)} AS shingle
   FROM toks, UNNEST(range(1, greatest(len(toks) - {k - 2}, 1))) AS t(i)
 )
 """
@@ -95,7 +97,7 @@ def minhash_lsh_sql(
     rows_per_band = num_hashes // bands
     return f"""
 WITH {_TOKS}, {_shingles(k)},
-hx AS (SELECT DISTINCT doc_id, {_md5l("shingle")} % {MERSENNE_P} AS x FROM sh),
+hx AS (SELECT DISTINCT doc_id, shingle % {MERSENNE_P} AS x FROM sh),
 mh AS (
   SELECT doc_id, i,
          min(((((i + 1) * {HASH_MULT_A}) % {MERSENNE_P}) * x
