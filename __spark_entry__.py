@@ -169,6 +169,16 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: connected components over the verified
+    MinHash-LSH pair graph -> (doc_id, keeper_doc_id) keep/drop list."""
+    from wiser_spark.operators.dedup import minhash_lsh_dedup, near_dup_clusters
+
+    docs = _documents(spark, sf_dir)
+    pairs = minhash_lsh_dedup(docs, num_hashes=32, bands=8, k=3, threshold=0.5)
+    return near_dup_clusters(docs, pairs)
+
+
 def _q_dedup_simhash(spark, sf_dir):
     from wiser_spark.operators.dedup import simhash
 
@@ -252,6 +262,27 @@ def _lsh_index(spark, sf_dir, n_planes=8, n_tables=2):
         )
         _LSH_IDX_CACHE[sf_dir] = d
     return _LSH_IDX_CACHE[sf_dir]
+
+
+_IVF_IDX_CACHE: dict[str, str] = {}
+
+
+def _q_ann_ivf_topk(spark, sf_dir):
+    """ANN top-k over a persisted IVF-flat index: nprobe nearest cells
+    scanned via partition pruning, exact cosine on the survivors."""
+    import hashlib
+    import tempfile
+
+    from wiser_spark.operators.similarity import ivf_topk, write_ivf_index
+
+    if sf_dir not in _IVF_IDX_CACHE:
+        tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+        d = f"{tempfile.gettempdir()}/wiser_ivf_idx_{tag}"
+        write_ivf_index(_embeddings(spark, sf_dir), d, n_centroids=16)
+        _IVF_IDX_CACHE[sf_dir] = d
+    return ivf_topk(
+        spark, _IVF_IDX_CACHE[sf_dir], _query_vec(spark, sf_dir), k=10, nprobe=4
+    )
 
 
 def _q_ann_lsh_topk(spark, sf_dir):
@@ -481,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "text_token_counts": _q_text_token_counts,
@@ -489,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_sim_pairs": _q_embedding_sim_pairs,
         "events_windowed": _q_events_windowed,
         "events_sessionize": _q_events_sessionize,
@@ -524,6 +557,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": csql.minhash_lsh_sql(
             num_hashes=32, bands=8, k=3, threshold=0.5
         ),
+        "dedup_clusters": csql.dedup_clusters_sql(
+            num_hashes=32, bands=8, k=3, threshold=0.5
+        ),
         "dedup_simhash": csql.simhash_sql(),
         "dedup_simhash_pairs": csql.simhash_pairs_sql(max_distance=3),
         "text_token_counts": csql.token_counts_sql(),
@@ -533,6 +569,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": csql.cosine_topk_sql(query_vec_id=0, k=10),
         "ann_lsh_topk": csql.lsh_topk_sql(
             query_vec_id=0, k=10, n_planes=8, n_tables=2
+        ),
+        "ann_ivf_topk": csql.ivf_topk_sql(
+            query_vec_id=0, k=10, n_centroids=16, nprobe=4
         ),
         "embedding_sim_pairs": csql.embedding_sim_pairs_sql(
             threshold=0.3, n_planes=8, n_tables=2

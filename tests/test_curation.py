@@ -67,6 +67,21 @@ def test_minhash_lsh_matches_exact_jaccard(planted):
     assert high <= set(lsh)  # banding can't miss near-identical docs
 
 
+def test_near_dup_clusters_transitive(spark, planted):
+    """Clusters are CONNECTED COMPONENTS: a chain a-b, b-c puts all
+    three under min(a,b,c) even if a-c never paired directly."""
+    from wiser_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 0), (2, 5)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["keeper_doc_id"]
+        for r in near_dup_clusters(planted, pairs).collect()
+    }
+    assert got == {0: 0, 1: 0, 3: 0, 2: 2, 5: 2, 4: 4}
+
+
 def test_minhash_lsh_plan_has_no_shingle_join(planted):
     """The scale gate: LSH verification must be candidate-driven — the
     physical plan may join on band keys and doc ids but NEVER on the

@@ -55,6 +55,31 @@ def test_stream_stats_match_batch(spark, streamed, oracle):
     assert len(gens) == 2
 
 
+def test_compaction_preserves_results(spark, streamed, oracle, tmp_path):
+    """Compacting the multi-generation streaming index into one row per
+    (shard, term) must leave every query identical and actually merge
+    the generations (the reference's qq->vacuum conversion, B18)."""
+    from wiser_spark.operators.segments import compact_index
+
+    src, _ = streamed
+    out = str(tmp_path / "compacted")
+    compact_index(spark, src, out)
+    segs = spark.read.parquet(f"{out}/segments")
+    per_key = (
+        segs.groupBy("shard_id", "term").count()
+        .agg({"count": "max"}).collect()[0][0]
+    )
+    assert per_key == 1  # one generation after the merge
+    idx_old = SegmentIndex(spark, src)
+    idx_new = SegmentIndex(spark, out)
+    for terms, is_phrase in [(["return"], False), (["return", "import"], True)]:
+        a = [tuple(r) for r in idx_old.search(terms, 10, is_phrase).collect()]
+        b = [tuple(r) for r in idx_new.search(terms, 10, is_phrase).collect()]
+        assert a == b and a
+        want = oracle.search(terms, k=10, is_phrase=is_phrase)
+        assert [r[1] for r in b] == [d for d, _ in want]
+
+
 def test_replayed_batch_is_noop(spark, tmp_path):
     """At-least-once replay of a committed batch must not duplicate rows
     or shift docIDs (the commit log makes the sink idempotent)."""

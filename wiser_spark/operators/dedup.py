@@ -224,6 +224,52 @@ def minhash_lsh_dedup(
     return _jaccard_pairs(sh, candidates).filter(F.col("jaccard") >= threshold)
 
 
+# --------------------------------------------------------------- clusters
+def near_dup_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(doc_id, keeper_doc_id): connected components over a near-dup
+    pair graph; keeper = the component's min doc_id (singletons keep
+    themselves). This is the operator that turns pairwise dedup output
+    into an actionable keep/drop list.
+
+    Distributed min-label propagation: each round every doc takes the
+    min label among itself and its neighbors — one join + one groupBy
+    per round, O(component diameter) rounds (near-dup components are
+    shallow: dup clusters are quasi-cliques). The driver loop only
+    checks a per-round convergence COUNT; labels are localCheckpoint'd
+    so lineage stays flat."""
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+        )
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    labels = labels.localCheckpoint()
+    while True:
+        prop = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(prop, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+                (F.coalesce(F.col("nbr_label"), F.col("label"))
+                 < F.col("label")).alias("chg"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.filter(F.col("chg")).count()
+        labels = new_labels.select("doc_id", "label")
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("keeper_doc_id"))
+
+
 # ---------------------------------------------------------------- simhash
 SIMHASH_BITS = 48
 

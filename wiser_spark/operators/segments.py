@@ -442,6 +442,76 @@ def _bm25_scores(decoded, terms_l, cand, codes, idfs, cache, k1):
     return scores
 
 
+# ------------------------------------------------------------- compaction
+def compact_segments(segments: DataFrame) -> DataFrame:
+    """Merge multi-generation segment rows into ONE row per (shard,
+    term) — the engine's rendition of the reference's qq->vacuum merge
+    (B18, ``convert_qq_to_vacuum.cc:22-37``) and of a Lucene segment
+    merge. Generations' doc ranges are disjoint (docIDs append-only), so
+    merging = decode each generation, concatenate in docID order,
+    re-encode; the shuffle key (shard_id, term) is bounded by the
+    shard's doc count. Streaming (v1) indexes only — rows must be plain
+    term rows (no sentinel/bloom rows)."""
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        term = pdf["term"].iloc[0]
+        assert term != DOCLEN_TERM and not term.startswith(BLOOM_PREFIXES), (
+            "compaction expects a v1 streaming index (plain term rows)"
+        )
+        shard_id = int(pdf["shard_id"].iloc[0])
+        with_off = any(len(b) for b in pdf["off_blob"])
+        parts = [
+            decode_segment_row(r, with_positions=True, with_offsets=with_off)
+            for _, r in pdf.iterrows()
+        ]
+        parts.sort(key=lambda p: int(p[0][0]))
+        ids = np.concatenate([p[0] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts])
+        flat_pos = np.concatenate(
+            [pl for p in parts for pl in p[2]]
+            or [np.zeros(0, dtype=np.int64)]
+        )
+        flat_off = (
+            np.concatenate(
+                [ol for p in parts for ol in p[3]]
+                or [np.zeros(0, dtype=np.int64)]
+            )
+            if with_off
+            else None
+        )
+        return pd.DataFrame(
+            [_encode_term_flat(shard_id, term, ids, tfs, flat_pos, flat_off)]
+        )
+
+    cols = [f.split()[0] for f in SEGMENT_SCHEMA.split(", ")]
+    return segments.select(*cols).groupBy("shard_id", "term").applyInPandas(
+        merge, SEGMENT_SCHEMA
+    )
+
+
+def compact_index(spark: SparkSession, index_dir: str, out_dir: str) -> None:
+    """Compact a streaming index directory into a single-generation
+    index at ``out_dir`` (segments merged per (shard, term); docstats /
+    dictionary / stats.json carried over). Queries over the compacted
+    index are identical; per-term read cost drops to one row."""
+    segs = spark.read.parquet(f"{index_dir}/segments")
+    compact_segments(segs).write.mode("overwrite").partitionBy(
+        "shard_id"
+    ).parquet(f"{out_dir}/segments")
+    spark.read.parquet(f"{index_dir}/docstats").write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/docstats")
+    spark.read.parquet(f"{index_dir}/dictionary").write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/dictionary")
+    with open(f"{index_dir}/stats.json") as f:
+        meta = json.load(f)
+    meta["compacted"] = True
+    os.makedirs(out_dir, exist_ok=True)
+    with open(f"{out_dir}/stats.json", "w") as f:
+        json.dump(meta, f, indent=1)
+
+
 # ------------------------------------------------------------------ read
 def _decode_runs(blob, counts: np.ndarray) -> np.ndarray:
     """Decode a per-doc delta varint stream (pos_blob/off_blob layout):

@@ -215,6 +215,102 @@ def lsh_topk_indexed(
     )
 
 
+# --------------------------------------------------------------- IVF-flat
+def write_ivf_index(
+    embeddings: DataFrame,
+    index_dir: str,
+    n_centroids: int = 16,
+    centroid_ids: list[int] | None = None,
+) -> None:
+    """Persist an IVF-flat index: every vector assigned to its nearest
+    (max-cosine) centroid CELL, parquet PARTITIONED BY cell.
+
+    Centroids are data vectors chosen deterministically (the lowest
+    ``n_centroids`` vec_ids unless ``centroid_ids`` is given) — sampled
+    init, no Lloyd iterations, so both engines and re-runs agree
+    bit-for-bit. A query probes the ``nprobe`` nearest cells through
+    partition pruning; like the LSH index this turns per-query cost
+    from O(N) into O(probed cells). Assignment ties break on the lower
+    centroid id (rank over (cosine desc, cid asc)) on both engines."""
+    import json
+    import os
+
+    from pyspark.sql import Window
+
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = embeddings.select("vec_id", emb.alias("emb"))
+    if centroid_ids is None:
+        centroid_ids = [
+            int(r["vec_id"])
+            for r in base.select("vec_id").orderBy("vec_id")
+            .limit(n_centroids).collect()
+        ]
+    cents = base.filter(F.col("vec_id").isin(centroid_ids)).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+    )
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "emb", "cid",
+        cosine_col(F.col("emb"), F.col("cemb")).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cid"))
+    assigned = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "emb", F.col("cid").alias("cell"))
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{index_dir}/cells"
+    )
+    os.makedirs(index_dir, exist_ok=True)
+    with open(f"{index_dir}/ivf.json", "w") as f:
+        json.dump({"centroid_ids": centroid_ids}, f)
+
+
+def ivf_topk(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN top-k over the persisted IVF index: probe the nprobe cells
+    whose centroids are most cosine-similar to the query (driver-side
+    ranking over |centroids| rows), scan ONLY those cells (partition
+    pruning), exact cosine on the survivors."""
+    import json
+
+    import numpy as np
+
+    with open(f"{index_dir}/ivf.json") as f:
+        centroid_ids = json.load(f)["centroid_ids"]
+    cells = spark.read.parquet(f"{index_dir}/cells")
+    cent_rows = cells.filter(F.col("vec_id").isin(centroid_ids)).select(
+        "vec_id", "emb"
+    ).collect()
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+    ranked = sorted(
+        cent_rows,
+        key=lambda r: (
+            -float(np.dot(np.asarray(r["emb"]), q))
+            / (float(np.linalg.norm(r["emb"])) * qn),
+            int(r["vec_id"]),
+        ),
+    )
+    probe = [int(r["vec_id"]) for r in ranked[:nprobe]]
+    qcol = F.array(*[F.lit(float(v)).cast("double") for v in query_vec])
+    scored = cells.filter(F.col("cell").isin(probe)).select(
+        "vec_id", cosine_col(F.col("emb"), qcol).alias("cosine")
+    )
+    top = scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "vec_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.98,

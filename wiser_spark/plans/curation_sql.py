@@ -122,6 +122,28 @@ WHERE j.jaccard >= {threshold!r}
 """
 
 
+def dedup_clusters_sql(
+    num_hashes: int = 32, bands: int = 8, k: int = 3, threshold: float = 0.5
+) -> str:
+    """Connected components over the MinHash-LSH near-dup pairs via a
+    recursive min-label closure; keeper = component min doc_id."""
+    pairs_q = minhash_lsh_sql(num_hashes, bands, k, threshold).strip()
+    return f"""
+WITH RECURSIVE p AS ({pairs_q}),
+e AS (
+  SELECT doc_a AS src, doc_b AS dst FROM p
+  UNION ALL
+  SELECT doc_b, doc_a FROM p
+),
+reach(doc_id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.label FROM e JOIN reach r ON e.dst = r.doc_id
+)
+SELECT doc_id, min(label) AS keeper_doc_id FROM reach GROUP BY doc_id
+"""
+
+
 def simhash_sql() -> str:
     mask = (1 << SIMHASH_BITS) - 1
     return f"""
@@ -315,6 +337,52 @@ FROM cand c
 JOIN embeddings a ON a.vec_id = c.vec_a
 JOIN embeddings b ON b.vec_id = c.vec_b
 WHERE {cos} >= {threshold!r}
+"""
+
+
+def ivf_topk_sql(
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> str:
+    """IVF-flat oracle: deterministic sampled centroids (lowest vec_ids),
+    max-cosine assignment (ties -> lower centroid id), probe the nprobe
+    nearest cells, exact cosine top-k over the probed cells."""
+    cos_bc = (
+        "list_dot_product(b.embedding::DOUBLE[], c.cemb::DOUBLE[]) / "
+        "(sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(c.cemb::DOUBLE[], c.cemb::DOUBLE[])))"
+    )
+    cos_cq = (
+        "list_dot_product(c.cemb::DOUBLE[], q.qv::DOUBLE[]) / "
+        "(sqrt(list_dot_product(c.cemb::DOUBLE[], c.cemb::DOUBLE[])) * "
+        "sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])))"
+    )
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+  ORDER BY vec_id LIMIT {n_centroids}
+),
+assigned AS (
+  SELECT b.vec_id, b.embedding, c.cid AS cell
+  FROM embeddings b CROSS JOIN cents c
+  QUALIFY row_number() OVER (
+    PARTITION BY b.vec_id ORDER BY {cos_bc} DESC, c.cid
+  ) = 1
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id}),
+probe AS (
+  SELECT c.cid FROM cents c, q
+  ORDER BY {cos_cq} DESC, c.cid LIMIT {nprobe}
+),
+scored AS (
+  SELECT a.vec_id, {_COS.replace("e.embedding", "a.embedding")} AS cosine
+  FROM assigned a JOIN probe p ON a.cell = p.cid CROSS JOIN q
+)
+SELECT row_number() OVER (ORDER BY cosine DESC, vec_id)::INT AS rank,
+       vec_id, round(cosine, 6) AS cosine
+FROM scored ORDER BY cosine DESC, vec_id LIMIT {k}
 """
 
 
