@@ -69,12 +69,14 @@ class IndexBuildPipeline:
         config: IndexConfig | None = None,
         order_cols=DEFAULT_ORDER,
         source_fingerprint: str = "",
+        content_col: str = "content",
     ):
         self.spark = spark
         self.source = source
         self.work_dir = work_dir
         self.config = config or IndexConfig()
         self.order_cols = list(order_cols)
+        self.content_col = content_col
         self.source_fingerprint = source_fingerprint or _source_lineage_fp(source)
         self.manifest = Manifest(work_dir)
 
@@ -104,23 +106,33 @@ class IndexBuildPipeline:
     def run(self) -> Manifest:
         cfg = self.config
         fp0 = fingerprint("docs", self.source_fingerprint, self.order_cols)
-        fp_docs = self._run_stage(
-            "docs", fp0,
-            lambda d: assign_doc_ids(self.source, self.order_cols)
-            .write.mode("overwrite").parquet(d),
-        )
+
+        def write_docs(d):
+            # a source that already carries doc_id keeps it (the lake
+            # assigned ids upstream); otherwise assign deterministically
+            out = (
+                self.source
+                if "doc_id" in self.source.columns
+                else assign_doc_ids(self.source, self.order_cols)
+            )
+            out.write.mode("overwrite").parquet(d)
+
+        fp_docs = self._run_stage("docs", fp0, write_docs)
         docs = self.spark.read.parquet(self._out("docs"))
 
         fp_post = self._run_stage(
             "postings", fingerprint("postings", fp_docs, cfg.with_positions),
-            lambda d: build_postings(docs, with_positions=cfg.with_positions)
-            .write.mode("overwrite").parquet(d),
+            lambda d: build_postings(
+                docs, with_positions=cfg.with_positions,
+                content_col=self.content_col,
+            ).write.mode("overwrite").parquet(d),
         )
         postings = self.spark.read.parquet(self._out("postings"))
 
         fp_stats = self._run_stage(
             "docstats", fingerprint("docstats", fp_docs),
-            lambda d: build_docstats(docs).write.mode("overwrite").parquet(d),
+            lambda d: build_docstats(docs, content_col=self.content_col)
+            .write.mode("overwrite").parquet(d),
         )
         docstats = self.spark.read.parquet(self._out("docstats"))
 
