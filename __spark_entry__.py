@@ -193,6 +193,14 @@ def _q_dedup_simhash_pairs(spark, sf_dir):
     return simhash_pairs(_documents(spark, sf_dir), max_distance=3)
 
 
+def _q_curation_kept_docs(spark, sf_dir):
+    """The end-to-end curation keep-list: quality gate + language tag +
+    near-dup cluster keepers, all in one composed pipeline."""
+    from wiser_spark.operators.curation import curate_corpus
+
+    return curate_corpus(_documents(spark, sf_dir), min_quality=0.5)
+
+
 def _q_text_token_counts(spark, sf_dir):
     from wiser_spark.operators.textstats import token_counts
 
@@ -360,6 +368,15 @@ def _q_events_windowed(spark, sf_dir):
     return windowed_event_counts(events, window="10 minutes")
 
 
+def _q_events_sliding(spark, sf_dir):
+    """SLIDING windows (10 min length, 5 min slide) — each event lands
+    in two overlapping epoch-aligned windows."""
+    from wiser_spark.streaming.windows import windowed_event_counts
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windowed_event_counts(events, window="10 minutes", slide="5 minutes")
+
+
 def _q_events_sessionize(spark, sf_dir):
     from wiser_spark.streaming.windows import sessionize_batch
 
@@ -515,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "curation_kept_docs": _q_curation_kept_docs,
         "text_token_counts": _q_text_token_counts,
         "text_language_id": _q_text_language_id,
         "text_quality": _q_text_quality,
@@ -524,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_sim_pairs": _q_embedding_sim_pairs,
         "events_windowed": _q_events_windowed,
+        "events_sliding": _q_events_sliding,
         "events_sessionize": _q_events_sessionize,
         "bm25_batch_log": _q_bm25_batch,
         "bm25_batch_segments": _q_bm25_batch_segments,
@@ -562,6 +581,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_simhash": csql.simhash_sql(),
         "dedup_simhash_pairs": csql.simhash_pairs_sql(max_distance=3),
+        "curation_kept_docs": csql.kept_docs_sql(min_quality=0.5),
         "text_token_counts": csql.token_counts_sql(),
         "text_language_id": csql.language_id_sql(),
         "text_quality": csql.quality_score_sql(),
@@ -582,6 +602,21 @@ SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
          AS window_end,
        event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
 FROM events GROUP BY 1, 2, 3
+""",
+        # sliding: each event belongs to the 2 epoch-aligned 10-minute
+        # windows whose start is within (ts - 10min, ts], stepped by 5min
+        "events_sliding": """
+WITH exploded AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts)
+           - (i * INTERVAL '5 minutes') AS window_start,
+         event_type, value, ts
+  FROM events, UNNEST(range(0, 2)) t(i)
+)
+SELECT window_start, window_start + INTERVAL '10 minutes' AS window_end,
+       event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM exploded
+WHERE ts >= window_start AND ts < window_start + INTERVAL '10 minutes'
+GROUP BY 1, 2, 3
 """,
         "events_sessionize": """
 WITH marked AS (

@@ -79,6 +79,17 @@ def test_stateful_sessionizer_matches_batch_closed_sessions(spark, tmp_path):
         assert want[key] == v
 
 
+def test_sliding_windows_double_count(spark):
+    """10-min windows sliding by 5: every event lands in exactly two
+    windows, so total counted events = 2x the tumbling total."""
+    events = _events(spark)
+    tumb = windowed_event_counts(events, window="10 minutes")
+    slid = windowed_event_counts(events, window="10 minutes", slide="5 minutes")
+    n_t = sum(r["n_events"] for r in tumb.collect())
+    n_s = sum(r["n_events"] for r in slid.collect())
+    assert n_s == 2 * n_t == 2 * events.count()
+
+
 def test_idle_session_flushed_by_event_time_timeout(spark, tmp_path):
     """A lone trailing session must be emitted WITHOUT a successor event
     from the same user: the event-time timeout closes it once the

@@ -273,6 +273,27 @@ SELECT doc_id, min({_md5l("gram")}) AS fingerprint FROM grams GROUP BY doc_id
 """
 
 
+def kept_docs_sql(
+    min_quality: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    """The full curation keep-list (mirror of curation.curate_corpus):
+    quality gate + language tag + near-dup cluster keepers."""
+    q = quality_score_sql().strip()
+    lang = language_id_sql().strip()
+    c = dedup_clusters_sql(num_hashes, bands, k, threshold).strip()
+    return f"""
+SELECT q.doc_id, l.lang_pred, q.quality
+FROM ({q}) q
+JOIN ({lang}) l USING (doc_id)
+JOIN ({c}) c USING (doc_id)
+WHERE c.keeper_doc_id = q.doc_id AND q.quality >= {min_quality!r}
+"""
+
+
 # ------------------------------------------------------------- embeddings
 _COS = (
     "list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) / "

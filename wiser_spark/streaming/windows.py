@@ -27,17 +27,22 @@ def windowed_event_counts(
     window: str = "10 minutes",
     watermark: str = "30 minutes",
     streaming: bool | None = None,
+    slide: str | None = None,
 ) -> DataFrame:
     """(window_start, window_end, event_type, n_events, sum_value).
 
-    With a streaming input, the watermark bounds state for late events;
-    on a batch input the same aggregation runs without one.
+    Tumbling by default; pass ``slide`` for SLIDING windows (each event
+    contributes to window_len/slide overlapping windows, epoch-aligned
+    like Spark's window()). With a streaming input, the watermark bounds
+    state for late events; on a batch input the same aggregation runs
+    without one.
     """
     src = events
     if streaming if streaming is not None else events.isStreaming:
         src = events.withWatermark("ts", watermark)
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
     out = (
-        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        src.groupBy(win.alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 6).alias("sum_value"),
