@@ -45,6 +45,38 @@ def test_meta_and_dictionary(spark, mapside_dir, oracle):
     assert "" not in d  # sentinel rows excluded from the dictionary
 
 
+def test_degenerate_corpora(spark, tmp_path):
+    """Empty corpus, single doc, and a doc that tokenizes to nothing all
+    build readable, correctly-answering indexes."""
+    cfg = IndexConfig(bm25=PARAMS, n_shards=2)
+    d = str(tmp_path / "empty")
+    write_index_mapside(
+        spark.createDataFrame([], "doc_id long, content string"), d, cfg
+    )
+    i1 = SegmentIndex(spark, d)
+    assert i1.stats.n_docs == 0
+    assert i1.search(["anything"], k=5).count() == 0
+    assert i1.search_batch([(0, ["x"], False)], k=5).count() == 0
+
+    d2 = str(tmp_path / "single")
+    write_index_mapside(
+        spark.createDataFrame([(0, "lone doc words")],
+                              "doc_id long, content string"), d2, cfg
+    )
+    i2 = SegmentIndex(spark, d2)
+    assert [r["doc_id"] for r in i2.search(["lone"], k=5).collect()] == [0]
+    assert i2.search(["lone", "doc"], k=5, is_phrase=True).count() == 1
+
+    d3 = str(tmp_path / "notoken")
+    write_index_mapside(
+        spark.createDataFrame([(0, "!!! ??? ...")],
+                              "doc_id long, content string"), d3,
+        IndexConfig(bm25=PARAMS, n_shards=1),
+    )
+    i3 = SegmentIndex(spark, d3)
+    assert i3.stats.n_docs == 1 and i3.search(["x"], k=5).count() == 0
+
+
 def test_batched_encode_byte_identical_to_reference():
     """The vocabulary-batched encoder must produce rows BYTE-IDENTICAL
     to the per-term reference encode (_encode_term_flat / bloom_row) —

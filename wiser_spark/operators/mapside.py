@@ -426,7 +426,9 @@ def write_index_mapside(
     segs.write.mode("overwrite").partitionBy("shard_id").parquet(
         f"{index_dir}/segments"
     )
-    written = spark.read.parquet(f"{index_dir}/segments")
+    # explicit schema: a DEGENERATE (empty) corpus writes no part files,
+    # which would fail schema inference — the index stays readable
+    written = spark.read.schema(SEGMENT_SCHEMA).parquet(f"{index_dir}/segments")
     (
         written.filter(
             (F.col("term") != DOCLEN_TERM)
@@ -455,7 +457,7 @@ def write_index_mapside(
         .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
         .collect()[0]
     )
-    n_docs = int(agg["n"])
+    n_docs = int(agg["n"] or 0)
     avgdl = float(agg["s"]) / n_docs if n_docs else 1.0
     n_shards_actual = (
         int(written.agg(F.max("shard_id")).collect()[0][0] or 0) + 1

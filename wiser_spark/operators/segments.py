@@ -561,10 +561,15 @@ class SegmentIndex:
             self.meta = json.load(f)
         self.params = BM25Params(k1=self.meta["k1"], b=self.meta["b"])
         self.stats = CorpusStats(self.meta["n_docs"], self.meta["avgdl"])
-        self.segments = spark.read.parquet(f"{index_dir}/segments")
+        # explicit schemas keep a degenerate (empty-corpus) index readable
+        self.segments = spark.read.schema(SEGMENT_SCHEMA).parquet(
+            f"{index_dir}/segments"
+        )
         # dictionary is the hot lookup table of every query (the
         # reference mmaps my.tip once) — cache it
-        self.dictionary = spark.read.parquet(f"{index_dir}/dictionary").cache()
+        self.dictionary = spark.read.schema("term string, df int").parquet(
+            f"{index_dir}/dictionary"
+        ).cache()
         # v2 (map-side) indexes carry doc lengths as in-shard sentinel
         # rows; v1 keeps a separate docstats table (query-time cogroup)
         self.has_sentinel = bool(self.meta.get("doclen_sentinel"))
