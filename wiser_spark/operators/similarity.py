@@ -261,9 +261,21 @@ def write_ivf_index(
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
         f"{index_dir}/cells"
     )
+    # centroid VECTORS ride in the metadata (|C| rows) so a probe never
+    # scans the cells table to find them
+    cent_rows = cents.collect()
     os.makedirs(index_dir, exist_ok=True)
     with open(f"{index_dir}/ivf.json", "w") as f:
-        json.dump({"centroid_ids": centroid_ids}, f)
+        json.dump(
+            {
+                "centroid_ids": centroid_ids,
+                "centroids": {
+                    str(r["cid"]): [float(v) for v in r["cemb"]]
+                    for r in cent_rows
+                },
+            },
+            f,
+        )
 
 
 def ivf_topk(
@@ -282,22 +294,19 @@ def ivf_topk(
     import numpy as np
 
     with open(f"{index_dir}/ivf.json") as f:
-        centroid_ids = json.load(f)["centroid_ids"]
+        meta = json.load(f)
     cells = spark.read.parquet(f"{index_dir}/cells")
-    cent_rows = cells.filter(F.col("vec_id").isin(centroid_ids)).select(
-        "vec_id", "emb"
-    ).collect()
     q = np.asarray(query_vec, dtype=np.float64)
     qn = float(np.sqrt((q * q).sum()))
     ranked = sorted(
-        cent_rows,
-        key=lambda r: (
-            -float(np.dot(np.asarray(r["emb"]), q))
-            / (float(np.linalg.norm(r["emb"])) * qn),
-            int(r["vec_id"]),
+        meta["centroids"].items(),
+        key=lambda kv: (
+            -float(np.dot(np.asarray(kv[1]), q))
+            / (float(np.linalg.norm(kv[1])) * qn),
+            int(kv[0]),
         ),
     )
-    probe = [int(r["vec_id"]) for r in ranked[:nprobe]]
+    probe = [int(cid) for cid, _ in ranked[:nprobe]]
     qcol = F.array(*[F.lit(float(v)).cast("double") for v in query_vec])
     scored = cells.filter(F.col("cell").isin(probe)).select(
         "vec_id", cosine_col(F.col("emb"), qcol).alias("cosine")
