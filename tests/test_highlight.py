@@ -45,6 +45,54 @@ def test_index_snippets_phrase_filters_offsets(spark, tmp_path):
     assert idx.doc_freqs(["table", "part", "zz"]) == [2, 2, 0]
 
 
+def test_snippets_fallback_without_offsets_column(spark, tmp_path):
+    """A v1 index (built from positions-only postings, empty off_blob)
+    must still serve snippets — via re-tokenization fallback, not a
+    decoder crash."""
+    from wiser_spark.config import BM25Params, IndexConfig
+    from wiser_spark.operators.docstats import build_docstats, corpus_stats
+    from wiser_spark.operators.postings import build_dictionary, build_postings
+    from wiser_spark.operators.segments import SegmentIndex, write_index
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta. the alpha sentence wins here."),
+         (1, "beta alone in this one. nothing else."),
+         (2, "alpha beta alpha beta repeated pair text.")],
+        "doc_id long, content string",
+    )
+    d = str(tmp_path / "v1idx")
+    postings = build_postings(docs)  # positions only, NO offsets
+    docstats = build_docstats(docs)
+    write_index(postings, docstats, build_dictionary(postings),
+                corpus_stats(docstats), d,
+                IndexConfig(bm25=BM25Params(1.2, 0.75), n_shards=2))
+    idx = SegmentIndex(spark, d)
+    got = idx.search(["alpha"], k=3, return_snippets=True, docs=docs).collect()
+    assert got and all("<b>alpha</b>" in r["snippet"] for r in got)
+
+
+def test_snippets_non_ascii_content(spark, tmp_path):
+    """Stored offsets are BYTE offsets into the lowered UTF-8; non-ASCII
+    content must still bold the right tokens (lowered display), never
+    mis-slice."""
+    from wiser_spark.config import BM25Params, IndexConfig
+    from wiser_spark.operators.mapside import write_index_mapside
+    from wiser_spark.operators.segments import SegmentIndex
+
+    docs = spark.createDataFrame(
+        [(0, "Café über wiser test — wiser again. no match tail."),
+         (1, "plain ascii wiser row here.")],
+        "doc_id long, content string",
+    )
+    d = str(tmp_path / "uidx")
+    write_index_mapside(docs, d, IndexConfig(bm25=BM25Params(1.2, 0.75), n_shards=1))
+    idx = SegmentIndex(spark, d)
+    got = {r["doc_id"]: r["snippet"] for r in
+           idx.search(["wiser"], k=5, return_snippets=True, docs=docs).collect()}
+    assert "<b>wiser</b> test" in got[0] and "<b>wiser</b> again" in got[0]
+    assert "<b>wiser</b> row" in got[1]  # ASCII path keeps original text
+
+
 def test_highlight_topk(spark):
     docs = spark.createDataFrame(
         [

@@ -146,8 +146,7 @@ def encode_column(
     parts.append(blob_head)
     rem = v[n_full * PACK_SIZE :]
     if rem.size:
-        payload = varint_encode(rem)
-        tail = bytes([VINTS_MAGIC]) + varint_encode([len(payload)]) + payload
+        tail = varint_tail_box(varint_encode(rem))
         offsets = np.concatenate([offsets, [pos]])
         parts.append(tail)
     return b"".join(parts), np.asarray(offsets, dtype=np.int64)

@@ -120,6 +120,40 @@ def _find_offsets(content: str, terms: list[str]) -> list[list[int]]:
     return [per_term[t] for t in terms]
 
 
+def snippet_from_stored_offsets(
+    content: str,
+    per_term_offsets: list[list[int]],
+    terms: list[str],
+    n_passages: int = 3,
+) -> str:
+    """highlight_doc over INDEX-STORED offsets, made total:
+
+    * offsets absent (index built without the offsets column) -> fall
+      back to re-tokenization (term queries keep exact snippets; phrase
+      offset-filtering degrades to all-occurrence bolding);
+    * non-ASCII content -> the stored values are BYTE offsets into the
+      lowered UTF-8, so convert them to char offsets and highlight the
+      LOWERED text (tokens are lowercase already; ASCII content — the
+      normal case — keeps the original text and needs no conversion)."""
+    if not any(len(o) for o in per_term_offsets):
+        return highlight_doc(content, _find_offsets(content, terms), n_passages)
+    if content.isascii():
+        return highlight_doc(content, per_term_offsets, n_passages)
+    import numpy as np
+
+    low = content.lower()
+    lb = np.frombuffer(low.encode("utf-8"), dtype=np.uint8)
+    # char index of each byte = count of non-continuation bytes before it
+    char_of = np.cumsum((lb & 0xC0) != 0x80) - 1
+    char_of = np.append(char_of, len(low))
+    last = len(lb)
+    conv = [
+        [int(char_of[min(int(b), last)]) for b in offs]
+        for offs in per_term_offsets
+    ]
+    return highlight_doc(low, conv, n_passages)
+
+
 def highlight(
     docs: DataFrame,
     topk: DataFrame,

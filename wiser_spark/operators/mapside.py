@@ -266,6 +266,7 @@ def encode_doc_batches(
     # test_mapside byte-identity.
     from wiser_spark.functions.packing import varint_tail_box
     from wiser_spark.functions.varint import varint_encode_with_lengths
+    from wiser_spark.operators.segments import _delta_varint_stream
 
     term_lo, term_hi = term_bounds[:-1], term_bounds[1:]
     n_terms = len(term_lo)
@@ -273,11 +274,10 @@ def encode_doc_batches(
     occ_lo, occ_hi = occ_cum[term_lo], occ_cum[term_hi]
 
     def _flat_stream(vals, run_starts):
-        deltas = np.diff(vals, prepend=0)
-        deltas[run_starts] = vals[run_starts]
-        blob, lens = varint_encode_with_lengths(deltas)
-        bounds = np.concatenate(([0], np.cumsum(lens)))
-        return blob, bounds
+        # same encode _encode_term_flat uses (single source of truth for
+        # the byte-identity guarantee); bounds gain the final end offset
+        blob, val_offs = _delta_varint_stream(vals, run_starts)
+        return blob, np.concatenate((val_offs, [len(blob)]))
 
     docid_blob_all, docid_b = _flat_stream(posting_doc, term_lo)
     tf_blob_all, tf_lens = varint_encode_with_lengths(tfs_all)

@@ -145,16 +145,26 @@ def decode_doclen_sentinel(row) -> tuple[np.ndarray, np.ndarray, np.ndarray | No
 
 
 # ----------------------------------------------------------------- write
-def _delta_varint_runs(
-    flat: np.ndarray, run_starts: np.ndarray, bag_starts: np.ndarray
+def _delta_varint_stream(
+    flat: np.ndarray, run_starts: np.ndarray
 ) -> tuple[bytes, np.ndarray]:
     """Delta+varint encode ``flat`` with the delta RESET at every
-    ``run_starts`` index (per-doc runs); returns (blob, byte offsets of
-    each ``bag_starts`` value) — the skip entries for partial decode."""
+    ``run_starts`` index (per-doc runs). Returns (blob, per-value byte
+    START offsets) — the single source of truth for this layout (the
+    per-term skip entries AND the vocabulary-batched slicer both index
+    into these offsets)."""
     deltas = np.diff(flat, prepend=0)
     deltas[run_starts] = flat[run_starts]  # run's first value: delta vs 0
     blob, lens = varint_encode_with_lengths(deltas)
-    val_offs = np.cumsum(lens) - lens
+    return blob, np.cumsum(lens) - lens
+
+
+def _delta_varint_runs(
+    flat: np.ndarray, run_starts: np.ndarray, bag_starts: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """(blob, byte offsets of each ``bag_starts`` value) — the skip
+    entries for partial decode."""
+    blob, val_offs = _delta_varint_stream(flat, run_starts)
     return blob, val_offs[bag_starts]
 
 
@@ -459,7 +469,9 @@ def compact_segments(segments: DataFrame) -> DataFrame:
             "compaction expects a v1 streaming index (plain term rows)"
         )
         shard_id = int(pdf["shard_id"].iloc[0])
-        with_off = any(len(b) for b in pdf["off_blob"])
+        # offsets survive the merge only if EVERY generation carries
+        # them (a mixed index can't produce a complete merged column)
+        with_off = all(len(b) for b in pdf["off_blob"])
         parts = [
             decode_segment_row(r, with_positions=True, with_offsets=with_off)
             for _, r in pdf.iterrows()
@@ -545,9 +557,15 @@ def decode_segment_row(
         positions = [flat[e - t : e] for t, e in zip(tfs, ends)]
     if not with_offsets:
         return doc_ids, tfs, positions
-    flat_off = _decode_runs(row["off_blob"], 2 * tfs)
-    oends = np.cumsum(2 * tfs)
-    offsets = [flat_off[e - 2 * t : e] for t, e in zip(tfs, oends)]
+    if len(row["off_blob"]) == 0:
+        # index built without the offsets column (v1 streaming /
+        # positions-only builds): degrade to empty spans — the snippet
+        # path falls back to re-tokenization
+        offsets = [np.zeros(0, dtype=np.int64)] * n
+    else:
+        flat_off = _decode_runs(row["off_blob"], 2 * tfs)
+        oends = np.cumsum(2 * tfs)
+        offsets = [flat_off[e - 2 * t : e] for t, e in zip(tfs, oends)]
     return doc_ids, tfs, positions, offsets
 
 
@@ -753,7 +771,7 @@ class SegmentIndex:
         if not return_snippets:
             return ranked.select("rank", "doc_id", "score")
 
-        from wiser_spark.operators.highlight import highlight_doc
+        from wiser_spark.operators.highlight import snippet_from_stored_offsets
 
         hits = docs.select("doc_id", F.col(content_col).alias("content")).join(
             F.broadcast(ranked), "doc_id"
@@ -767,8 +785,8 @@ class SegmentIndex:
                         "doc_id": pdf["doc_id"],
                         "score": pdf["score"],
                         "snippet": [
-                            highlight_doc(
-                                c, [list(o) for o in offs], n_passages
+                            snippet_from_stored_offsets(
+                                c, [list(o) for o in offs], terms_l, n_passages
                             )
                             for c, offs in zip(pdf["content"], pdf["offs"])
                         ],
@@ -816,7 +834,11 @@ class SegmentIndex:
         }
         cache = tfnorm_cache(avgdl, params)
         k1 = params.k1
-        need_pos = any(ph for _, _, ph in qlist)
+        # positions are decoded ONLY for terms that appear in a phrase
+        # query — one long phrase in a big log must not make every hot
+        # term's positional stream decode
+        pos_terms = {t for _, terms_l, ph in qlist if ph for t in terms_l}
+        need_pos = bool(pos_terms)
         has_sentinel = self.has_sentinel
         n_shards = self.meta["n_shards"]
 
@@ -848,7 +870,12 @@ class SegmentIndex:
         ) -> pd.DataFrame:
             rows_by_term, bloom_rows, sentinel_rows = _parse_shard_rows(seg_pdf)
             present = {t for t in all_terms if t in rows_by_term}
-            decoded = _decode_terms(rows_by_term, present, need_pos, False)
+            decoded = _decode_terms(
+                rows_by_term, present & pos_terms, True, False
+            )
+            decoded.update(
+                _decode_terms(rows_by_term, present - pos_terms, False, False)
+            )
             out_q: list[int] = []
             out_d: list[np.ndarray] = []
             out_s: list[np.ndarray] = []

@@ -121,7 +121,10 @@ class IndexBuildPipeline:
         docs = self.spark.read.parquet(self._out("docs"))
 
         fp_post = self._run_stage(
-            "postings", fingerprint("postings", fp_docs, cfg.with_positions),
+            "postings",
+            fingerprint(
+                "postings", fp_docs, cfg.with_positions, self.content_col
+            ),
             lambda d: build_postings(
                 docs, with_positions=cfg.with_positions,
                 content_col=self.content_col,
@@ -130,7 +133,7 @@ class IndexBuildPipeline:
         postings = self.spark.read.parquet(self._out("postings"))
 
         fp_stats = self._run_stage(
-            "docstats", fingerprint("docstats", fp_docs),
+            "docstats", fingerprint("docstats", fp_docs, self.content_col),
             lambda d: build_docstats(docs, content_col=self.content_col)
             .write.mode("overwrite").parquet(d),
         )
