@@ -410,12 +410,17 @@ def _q_multimodal_frame_sample(spark, sf_dir):
 
 
 def _q_multimodal_features(spark, sf_dir):
-    """Deterministic fake-feature extraction (np.random seeded by blob
-    md5 — not SQL-expressible, so no oracle entry: the driver records
-    the weaker rows-only check for this one)."""
+    """Deterministic fake-feature extraction. The fake features are
+    md5-byte-derived (feature[i] = float32((md5_byte[i]/255)*2-1)), so
+    they ARE SQL-expressible — the entry explodes the vector to
+    (id, idx, value double) rows and gets a full DuckDB oracle (exact
+    IEEE arithmetic on both engines, no rounding needed)."""
     from wiser_spark.operators.multimodal import extract_features
 
-    return extract_features(_blobs(spark, sf_dir), dim=16, fake=True)
+    out = extract_features(_blobs(spark, sf_dir), dim=16, fake=True)
+    return out.select(
+        "id", F.posexplode("feature").alias("idx", "v")
+    ).select("id", F.col("idx").cast("int"), F.col("v").cast("double").alias("value"))
 
 
 MULTIMODAL_METADATA_SQL = """
@@ -430,6 +435,16 @@ MULTIMODAL_FRAME_SAMPLE_SQL = """
 SELECT doc_id AS id, i::INT AS sample_idx, (i*64)::BIGINT AS offset,
        sha256(substr(text, (i*64+1)::BIGINT, 64)) AS chunk_sha256
 FROM documents, UNNEST(range(0, greatest(ceil(length(text)/64.0)::BIGINT, 1))) t(i)
+"""
+
+# feature[i] = float32((md5_byte[i]/255)*2-1): md5 hex nibbles -> byte ->
+# the same f64->f32->f64 IEEE chain the engine computes (exact match)
+MULTIMODAL_FEATURES_SQL = """
+SELECT doc_id AS id, i::INT AS idx,
+       CAST(CAST((((strpos('0123456789abcdef', substr(md5(text), 2*i+1, 1)) - 1) * 16
+         + strpos('0123456789abcdef', substr(md5(text), 2*i+2, 1)) - 1)
+         / 255.0) * 2.0 - 1.0 AS FLOAT) AS DOUBLE) AS value
+FROM documents, UNNEST(range(0, 16)) t(i)
 """
 
 
@@ -647,8 +662,7 @@ FROM sess GROUP BY user_id, session_id
         "bm25_from_querylog": _querylog_oracle_sql(),
         "multimodal_metadata": MULTIMODAL_METADATA_SQL,
         "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_SQL,
-        # multimodal_features intentionally absent: md5-seeded RNG fake
-        # features aren't SQL-expressible -> rows-only check
+        "multimodal_features": MULTIMODAL_FEATURES_SQL,
         "bm25_batch_log": " UNION ALL ".join(
             f"SELECT {qid} AS query_id, * FROM ("
             + osql.bm25_topk_sql(terms, k=10, params=PARAMS, is_phrase=ph)

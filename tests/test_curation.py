@@ -187,6 +187,50 @@ def test_lsh_index_partition_pruned_probe(spark, tmp_path):
     # bucket predicate must be partition-level (pruning), tested above
 
 
+def test_ivf_cell_balance_on_clustered_corpus(spark, tmp_path):
+    """IVF centroid selection must SPREAD over the corpus. Adversarial
+    layout: ids correlate with clusters (ids 0-99 = cluster A, ... — any
+    appended corpus looks like this). Lowest-id selection puts every
+    centroid in cluster A and the other 300 vectors pile into a few
+    giant cells; md5-spread sampling gives each cluster ~ its share of
+    centroids and bounded cells. ivf.json carries the per-cell counts."""
+    import json
+    import random
+
+    from wiser_spark.operators.similarity import write_ivf_index
+
+    rnd = random.Random(11)
+    centers = [[rnd.uniform(-1, 1) for _ in range(16)] for _ in range(4)]
+    rows = [
+        (c * 100 + i,
+         [v + rnd.uniform(-0.05, 0.05) for v in centers[c]])
+        for c in range(4)
+        for i in range(100)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+    d_spread = str(tmp_path / "ivf_spread")
+    write_ivf_index(emb, d_spread, n_centroids=16)
+    meta = json.load(open(f"{d_spread}/ivf.json"))
+    counts = sorted(int(n) for n in meta["cell_counts"].values())
+    assert sum(counts) == 400
+    # every natural cluster got at least one centroid (spread sampling)
+    clusters_hit = {cid // 100 for cid in meta["centroid_ids"]}
+    assert clusters_hit == {0, 1, 2, 3}, meta["centroid_ids"]
+
+    # the old lowest-id scheme on the same corpus: all centroids in
+    # cluster A -> 300 off-cluster vectors pile into a few cells
+    d_low = str(tmp_path / "ivf_lowid")
+    write_ivf_index(emb, d_low, n_centroids=16,
+                    centroid_ids=list(range(16)))
+    meta_low = json.load(open(f"{d_low}/ivf.json"))
+    counts_low = sorted(int(n) for n in meta_low["cell_counts"].values())
+    assert max(counts) < max(counts_low), (counts, counts_low)
+    # bounded skew for the spread index: max cell stays within the
+    # largest natural cluster's share (no cross-cluster pileup)
+    assert max(counts) <= 100, counts
+
+
 def test_token_counts(spark):
     df = spark.createDataFrame(
         [(1, "def foo(x):\n    return x + 1")], "doc_id long, content string"

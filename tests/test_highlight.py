@@ -69,6 +69,30 @@ def test_snippets_fallback_without_offsets_column(spark, tmp_path):
     idx = SegmentIndex(spark, d)
     got = idx.search(["alpha"], k=3, return_snippets=True, docs=docs).collect()
     assert got and all("<b>alpha</b>" in r["snippet"] for r in got)
+    # PHRASE query on the offset-less index: the offs-extraction loop
+    # must degrade to the re-tokenization fallback, not IndexError on
+    # the empty span arrays (phrase mode then bolds all occurrences)
+    ph = idx.search(["alpha", "beta"], k=3, is_phrase=True,
+                    return_snippets=True, docs=docs).collect()
+    assert ph and all(
+        "<b>alpha</b>" in r["snippet"] and "<b>beta</b>" in r["snippet"]
+        for r in ph
+    )
+
+
+def test_snippets_divergent_case_mapping_falls_back():
+    """U+0130 'İ': Arrow's simple lowercase (1 byte 'i') diverges from
+    Python's full mapping ('i̇', 3 bytes) — stored byte offsets after the
+    divergence shift. The span validation must catch the mismatch and
+    fall back to re-tokenization instead of mis-bolding."""
+    from wiser_spark.operators.highlight import snippet_from_stored_offsets
+
+    content = "İstanbul wiser match here."
+    # offsets as INDEX TIME computed them: arrow-lowered text is
+    # "istanbul wiser match here." -> 'wiser' at bytes [9, 14)
+    out = snippet_from_stored_offsets(content, [[9, 14]], ["wiser"], 1)
+    assert "<b>wiser</b>" in out
+    assert "<b>r wise" not in out and "<b>̇" not in out
 
 
 def test_snippets_non_ascii_content(spark, tmp_path):

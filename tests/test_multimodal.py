@@ -36,6 +36,71 @@ def test_fake_features_deterministic(blobs):
     assert a[0] != a[1]  # different blobs -> different features
 
 
+def test_fake_features_are_md5_derived(blobs):
+    """The fake path is SQL-expressible by construction:
+    feature[i] = float32((md5(blob)_byte[i % 16] / 255) * 2 - 1)."""
+    import numpy as np
+
+    got = {r["id"]: r["feature"] for r in
+           extract_features(blobs, dim=20, fake=True).collect()}
+    blob = b"FAKEPNG0003" * 53
+    h = hashlib.md5(blob).digest()
+    want = [float(np.float32((h[i % 16] / 255.0) * 2.0 - 1.0)) for i in range(20)]
+    assert got[3] == want  # dim 20 cycles the 16 digest bytes
+
+
+def _ppm(w, h, seed):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    return f"P6\n{w} {h}\n255\n".encode() + px.tobytes(), px
+
+
+def _wav(rate, samples):
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    hdr = (b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+           + b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + rate.to_bytes(4, "little") + (rate * 2).to_bytes(4, "little")
+           + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+           + b"data" + len(data).to_bytes(4, "little"))
+    return hdr + data
+
+
+def test_real_decode_ppm_wav_end_to_end(spark):
+    """fake=False over a numpy-decodable corpus: PPM(P6) images and
+    PCM16 WAV audio run end-to-end through mapInPandas — no external
+    media library, real header parse + frombuffer decode."""
+    import numpy as np
+
+    from wiser_spark.operators.multimodal import decode_ppm, decode_wav
+
+    img, px = _ppm(8, 6, seed=7)
+    wav = _wav(16000, np.arange(-500, 500, dtype=np.int16))
+    w2, h2, px2 = decode_ppm(img)
+    assert (w2, h2) == (8, 6) and np.array_equal(px2, px)
+    rate, samples = decode_wav(wav)
+    assert rate == 16000 and samples.size == 1000 and samples[0] == -500
+
+    rows = [(0, "image", bytearray(img)), (1, "audio", bytearray(wav))]
+    df = spark.createDataFrame(rows, "id long, modality string, blob binary")
+    got = {r["id"]: r["feature"] for r in
+           extract_features(df, dim=16, fake=False).collect()}
+    assert len(got) == 2 and all(len(v) == 16 for v in got.values())
+    # image features: w/4096, h/4096 lead; channel means follow
+    assert abs(got[0][0] - 8 / 4096.0) < 1e-6
+    assert abs(got[0][2] - float(px[:, :, 0].mean() / 255.0)) < 1e-4
+    # audio features: rate/48000 leads
+    assert abs(got[1][0] - 16000 / 48000.0) < 1e-6
+    # deterministic across runs
+    again = {r["id"]: r["feature"] for r in
+             extract_features(df, dim=16, fake=False).collect()}
+    assert got == again
+
+
 def test_real_decode_raises(blobs):
     from py4j.protocol import Py4JJavaError
 

@@ -5,11 +5,20 @@ path; every hash is md5-derived so the DuckDB oracles compute identical
 values):
 
   exact          sha256-groupBy — keeper = min doc_id per content hash
-  ngram-jaccard  token k-shingle self-join -> exact Jaccard >= threshold
+  ngram-jaccard  candidate pairs from docs sharing a RARE shingle
+                 (df <= max_shingle_df, default 100) -> exact Jaccard
+                 over the CAPPED shingle sets >= threshold
   minhash-lsh    k-shingles -> H minhashes -> B bands -> banded
                  candidate join -> exact-Jaccard verification
   simhash        48-bit weighted fingerprint; near-dup pairs by Hamming
                  distance with banded blocking
+
+BEHAVIOR CHANGE (round 2): ngram_jaccard_dedup's max_shingle_df default
+went from None to MAX_SHINGLE_DF (=100), and the cap applies BEFORE the
+per-doc shingle sets are built — so on corpora with hot shingles the
+reported Jaccard values themselves change (they're Jaccard over the
+rare-shingle subsets), not just the candidate set. Pass
+max_shingle_df=None for the old exact-over-all-shingles semantics.
 
 Scale notes (the 100 TB story):
   * verification is CANDIDATE-DRIVEN everywhere: per-doc shingle sets are

@@ -120,6 +120,18 @@ def _find_offsets(content: str, terms: list[str]) -> list[list[int]]:
     return [per_term[t] for t in terms]
 
 
+def _retokenize_snippet(content: str, terms: list[str], n_passages: int) -> str:
+    """Re-tokenization fallback, length-safe: offsets are computed over
+    ``content.lower()``, so wrap the ORIGINAL text only when lowering
+    preserved length (the overwhelmingly common case) — a
+    length-changing case mapping (e.g. 'İ' -> 'i̇') shifts every later
+    offset, so display the lowered text the offsets are valid for."""
+    low = content.lower()
+    offs = _find_offsets(content, terms)
+    return highlight_doc(content if len(low) == len(content) else low,
+                         offs, n_passages)
+
+
 def snippet_from_stored_offsets(
     content: str,
     per_term_offsets: list[list[int]],
@@ -136,7 +148,7 @@ def snippet_from_stored_offsets(
       LOWERED text (tokens are lowercase already; ASCII content — the
       normal case — keeps the original text and needs no conversion)."""
     if not any(len(o) for o in per_term_offsets):
-        return highlight_doc(content, _find_offsets(content, terms), n_passages)
+        return _retokenize_snippet(content, terms, n_passages)
     if content.isascii():
         return highlight_doc(content, per_term_offsets, n_passages)
     import numpy as np
@@ -151,6 +163,15 @@ def snippet_from_stored_offsets(
         [int(char_of[min(int(b), last)]) for b in offs]
         for offs in per_term_offsets
     ]
+    # Python str.lower() can diverge from the Arrow utf8_lower used at
+    # index time (full vs simple case mappings, e.g. U+0130 'İ' -> 'i̇'
+    # grows by one codepoint), shifting every stored byte offset after
+    # the divergence. Validate each converted span actually spells its
+    # term; any mismatch -> re-tokenize instead of mis-bolding
+    for offs, t in zip(conv, terms):
+        for i in range(0, len(offs), 2):
+            if low[offs[i] : offs[i + 1]] != t:
+                return _retokenize_snippet(content, terms, n_passages)
     return highlight_doc(low, conv, n_passages)
 
 

@@ -413,10 +413,13 @@ def _phrase_intersect(decoded, terms_l, cand):
             if at.size
             else np.zeros(0, dtype=np.int64)
         )
-        if pos_cat.size:
-            # key packing safety: positions must fit 32 bits
-            assert int(pos_cat.max()) < 2**31 - n_terms, (
-                "token position overflows the packed key"
+        if pos_cat.size and int(pos_cat.max()) >= 2**31 - n_terms:
+            # key packing safety: positions must fit 32 bits. A real
+            # raise (not assert): PYTHONOPTIMIZE strips asserts and this
+            # is a data-dependent invariant in the query kernel
+            raise ValueError(
+                f"token position {int(pos_cat.max())} overflows the "
+                f"packed (owner<<32 | pos) phrase key"
             )
         owner = np.repeat(np.arange(cand.size, dtype=np.int64), cand_tfs)
         keys = (owner << np.int64(32)) | (pos_cat.astype(np.int64) - i + n_terms)
@@ -731,6 +734,14 @@ class SegmentIndex:
                         ids, tfs, plists, olists = decoded[t]
                         at = int(np.searchsorted(ids, doc))
                         o = np.asarray(olists[at], dtype=np.int64)
+                        if o.size == 0:
+                            # index without stored offsets (v1 streaming
+                            # builds): emit no spans so the snippet layer
+                            # falls back to re-tokenization — also for
+                            # phrase queries, which would otherwise index
+                            # into the empty span array
+                            per_term.append([])
+                            continue
                         if phrase_surv is not None and n_terms > 1:
                             ci = int(np.searchsorted(cand_pre, doc))
                             mine = phrase_surv[

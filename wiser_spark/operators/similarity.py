@@ -225,24 +225,40 @@ def write_ivf_index(
     """Persist an IVF-flat index: every vector assigned to its nearest
     (max-cosine) centroid CELL, parquet PARTITIONED BY cell.
 
-    Centroids are data vectors chosen deterministically (the lowest
-    ``n_centroids`` vec_ids unless ``centroid_ids`` is given) — sampled
-    init, no Lloyd iterations, so both engines and re-runs agree
-    bit-for-bit. A query probes the ``nprobe`` nearest cells through
-    partition pruning; like the LSH index this turns per-query cost
-    from O(N) into O(probed cells). Assignment ties break on the lower
-    centroid id (rank over (cosine desc, cid asc)) on both engines."""
+    Centroids are data vectors chosen by DETERMINISTIC SPREAD SAMPLING:
+    the ``n_centroids`` lowest values of md5(vec_id) (ties -> lower
+    vec_id) — a uniform pseudo-random sample that is reproducible on
+    both engines (the DuckDB oracle computes the identical md5 order),
+    unless ``centroid_ids`` is given. Spread sampling matters at scale:
+    taking the LOWEST ids (the round-1/2 scheme) picks centroids that
+    are spatially correlated whenever ids correlate with content (they
+    do, in any appended corpus), leaving most of the corpus max-cosine
+    to a handful of centroids — a probed "cell" then IS a large
+    fraction of the data and partition pruning prunes nothing. Uniform
+    sampling makes E[cell size] = N/n_centroids with concentration on
+    clustered data (each natural cluster gets ~ its share of
+    centroids); test_ivf_cell_balance pins the max/median skew.
+    Per-cell counts are written into ivf.json for operational balance
+    checks. No Lloyd iterations — sampled init keeps both engines
+    bit-for-bit identical. A query probes the ``nprobe`` nearest cells
+    through partition pruning; like the LSH index this turns per-query
+    cost from O(N) into O(probed cells). Assignment ties break on the
+    lower centroid id (rank over (cosine desc, cid asc)) on both
+    engines."""
     import json
     import os
 
     from pyspark.sql import Window
+
+    from wiser_spark.operators.dedup import md5_long
 
     emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = embeddings.select("vec_id", emb.alias("emb"))
     if centroid_ids is None:
         centroid_ids = [
             int(r["vec_id"])
-            for r in base.select("vec_id").orderBy("vec_id")
+            for r in base.select("vec_id")
+            .orderBy(md5_long(F.col("vec_id").cast("string")), F.col("vec_id"))
             .limit(n_centroids).collect()
         ]
     cents = base.filter(F.col("vec_id").isin(centroid_ids)).select(
@@ -264,6 +280,15 @@ def write_ivf_index(
     # centroid VECTORS ride in the metadata (|C| rows) so a probe never
     # scans the cells table to find them
     cent_rows = cents.collect()
+    # per-cell counts from the WRITTEN files (partition-column agg over
+    # parquet metadata — no recompute of the assignment): the balance
+    # signal an operator checks before trusting nprobe cost estimates
+    spark = embeddings.sparkSession
+    cell_counts = {
+        int(r["cell"]): int(r["n"])
+        for r in spark.read.parquet(f"{index_dir}/cells")
+        .groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
     os.makedirs(index_dir, exist_ok=True)
     with open(f"{index_dir}/ivf.json", "w") as f:
         json.dump(
@@ -273,6 +298,7 @@ def write_ivf_index(
                     str(r["cid"]): [float(v) for v in r["cemb"]]
                     for r in cent_rows
                 },
+                "cell_counts": {str(c): n for c, n in sorted(cell_counts.items())},
             },
             f,
         )

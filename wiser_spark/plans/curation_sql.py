@@ -367,9 +367,11 @@ def ivf_topk_sql(
     n_centroids: int = 16,
     nprobe: int = 4,
 ) -> str:
-    """IVF-flat oracle: deterministic sampled centroids (lowest vec_ids),
-    max-cosine assignment (ties -> lower centroid id), probe the nprobe
-    nearest cells, exact cosine top-k over the probed cells."""
+    """IVF-flat oracle: deterministic SPREAD-SAMPLED centroids (lowest
+    md5(vec_id) values, ties -> lower vec_id — the same uniform sample
+    the engine draws), max-cosine assignment (ties -> lower centroid
+    id), probe the nprobe nearest cells, exact cosine top-k over the
+    probed cells."""
     cos_bc = (
         "list_dot_product(b.embedding::DOUBLE[], c.cemb::DOUBLE[]) / "
         "(sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) * "
@@ -383,7 +385,8 @@ def ivf_topk_sql(
     return f"""
 WITH cents AS (
   SELECT vec_id AS cid, embedding AS cemb FROM embeddings
-  ORDER BY vec_id LIMIT {n_centroids}
+  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id
+  LIMIT {n_centroids}
 ),
 assigned AS (
   SELECT b.vec_id, b.embedding, c.cid AS cell
