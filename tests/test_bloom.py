@@ -20,15 +20,98 @@ PARAMS = BM25Params(1.2, 0.75)
 
 
 def test_no_false_negatives_unit():
-    """Every token OR'd into a bloom must probe positive."""
+    """Every token OR'd into a bloom must probe positive — both the
+    SIZED rendition (reference libbloom parameters) and the legacy
+    64-bit one."""
+    from wiser_spark.functions.bloom import (
+        bloom_params,
+        fold_occurrence_bloom_rows,
+        probe_rows,
+        token_bloom_mask,
+        vocab_bloom_matrix,
+    )
+
     vocab = [f"tok{i}" for i in range(200)]
-    table = vocab_bloom_table(vocab)
-    occ = table[np.arange(200)]
     starts = np.array([0, 50, 120])
-    blooms = fold_occurrence_blooms(occ, starts)
-    for j, (lo, hi) in enumerate([(0, 50), (50, 120), (120, 200)]):
+    spans = [(0, 50), (50, 120), (120, 200)]
+    table = vocab_bloom_table(vocab)
+    blooms = fold_occurrence_blooms(table[np.arange(200)], starts)
+    bp = bloom_params()
+    mat = vocab_bloom_matrix(vocab, bp)
+    sized = fold_occurrence_bloom_rows(mat, starts)
+    for j, (lo, hi) in enumerate(spans):
         for t in vocab[lo:hi]:
             assert probe(blooms[j : j + 1], token_bloom_bits(t))[0]
+            assert probe_rows(sized[j : j + 1], token_bloom_mask(t, bp))[0]
+
+
+def test_reference_sizing():
+    """libbloom math with the reference defaults (entries=5,
+    ratio=0.001, create_qq_mem_dump.cc:14-15): 71 bits, 9 bytes,
+    k=10 (bloom.c:95-117)."""
+    from wiser_spark.functions.bloom import bloom_params
+
+    bp = bloom_params()
+    assert (bp.bits, bp.nbytes, bp.hashes) == (71, 9, 10)
+    assert (bp.entries, bp.ratio) == (5, 0.001)
+    # and the formula tracks its inputs
+    bigger = bloom_params(entries=10, ratio=0.001)
+    assert bigger.bits > bp.bits
+
+
+def test_bloom_box_roundtrip_and_presence():
+    """Box layout: magic/count/presence-bitmap/present-arrays; all-zero
+    rows are ABSENT in the payload and decode back to all-zero;
+    multi-box columns decode partially from any box offset."""
+    from wiser_spark.functions.bloom import (
+        BLOOM_BOX_MAGIC,
+        bloom_boxes_decode,
+        bloom_boxes_encode,
+        bloom_params,
+    )
+
+    bp = bloom_params()
+    rng = np.random.default_rng(3)
+    mat = rng.integers(0, 256, size=(300, bp.nbytes), dtype=np.uint8)
+    mat[rng.random(300) < 0.4] = 0
+    blob, offs = bloom_boxes_encode(mat)
+    assert blob[0] == BLOOM_BOX_MAGIC and len(offs) == 3
+    # absent rows shrink the payload: size < dense 300 * nbytes
+    assert len(blob) < 300 * bp.nbytes
+    assert np.array_equal(bloom_boxes_decode(blob, 300, bp.nbytes), mat)
+    assert np.array_equal(
+        bloom_boxes_decode(blob, 172, bp.nbytes, offset=offs[1]), mat[128:]
+    )
+
+
+def test_sized_blooms_prune_at_least_as_much_as_legacy():
+    """The sized filters (71 bits / k=10 per posting) must prune absent
+    adjacencies at >= the legacy 64-bit/k=2 rate: 5 neighbor tokens per
+    posting, 5000 absent probes — count false positives both ways."""
+    from wiser_spark.functions.bloom import (
+        bloom_params,
+        fold_occurrence_bloom_rows,
+        probe_rows,
+        token_bloom_mask,
+        vocab_bloom_matrix,
+    )
+
+    members = [f"in{i}" for i in range(5)]
+    absent = [f"out{i}" for i in range(5000)]
+    bp = bloom_params()
+    sized = fold_occurrence_bloom_rows(
+        vocab_bloom_matrix(members, bp), np.array([0])
+    )
+    legacy = fold_occurrence_blooms(
+        vocab_bloom_table(members), np.array([0])
+    )
+    fp_sized = sum(
+        bool(probe_rows(sized, token_bloom_mask(t, bp))[0]) for t in absent
+    )
+    fp_legacy = sum(bool(probe(legacy, token_bloom_bits(t))[0]) for t in absent)
+    assert fp_sized <= fp_legacy, (fp_sized, fp_legacy)
+    # and the sized rate is in the ratio=0.001 ballpark, not degenerate
+    assert fp_sized <= 25, fp_sized
 
 
 @pytest.fixture(scope="module")

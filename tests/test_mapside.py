@@ -87,7 +87,7 @@ def test_batched_encode_byte_identical_to_reference():
     import numpy as np
     import pyarrow as pa
 
-    from wiser_spark.functions.bloom import vocab_bloom_table
+    from wiser_spark.functions.bloom import bloom_params, vocab_bloom_matrix
     from wiser_spark.operators.mapside import encode_doc_batches
     from wiser_spark.operators.segments import (
         BLOOM_BEGIN_PREFIX,
@@ -127,7 +127,8 @@ def test_batched_encode_byte_identical_to_reference():
                 (pos, m.start(), m.end())
             )
     vocab = sorted(per_term)
-    bits = vocab_bloom_table(np.asarray(vocab, dtype=object))
+    bp = bloom_params()
+    masks = vocab_bloom_matrix(np.asarray(vocab, dtype=object), bp)
     code = {t: i for i, t in enumerate(vocab)}
     tok_stream = [
         [m.group() for m in re.finditer(r"[a-z0-9_]+", t.lower())]
@@ -150,17 +151,18 @@ def test_batched_encode_byte_identical_to_reference():
             hv = have[k]
             assert (list(hv) if isinstance(v, list) else hv) == v, (t, k)
         # blooms: end = next-token masks, begin = previous-token masks
+        # (sized filters: reference libbloom defaults, box layout)
         for pref, delta in ((BLOOM_PREFIX, 1), (BLOOM_BEGIN_PREFIX, -1)):
             blooms = []
             for d in doc_ids:
-                acc = np.uint64(0)
+                acc = np.zeros(bp.nbytes, dtype=np.uint8)
                 toks = tok_stream[d]
                 for (p, _, _) in per_term[t][d]:
                     q = p + delta
                     if 0 <= q < len(toks):
-                        acc |= bits[code[toks[q]]]
+                        acc |= masks[code[toks[q]]]
                 blooms.append(acc)
-            wantb = bloom_row(7, t, np.array(blooms, dtype=np.uint64), prefix=pref)
+            wantb = bloom_row(7, t, np.stack(blooms), prefix=pref)
             haveb = got[pref + t]
             for k, v in wantb.items():
                 hv = haveb[k]

@@ -131,6 +131,82 @@ def test_staging_leftover_replaced_on_retry(spark, tmp_path):
     assert got == list(range(20))
 
 
+@pytest.fixture(scope="module")
+def streamed_v2(spark, tmp_path_factory, oracle):
+    """Two v2 (map-side) generations ingested via the idempotent sink."""
+    from wiser_spark.streaming.incremental import IncrementalIndexer
+
+    d = str(tmp_path_factory.mktemp("stream_v2") / "idx")
+    rows = make_corpus(90)
+    ix = IncrementalIndexer(d, IndexConfig(bm25=PARAMS, n_shards=3), fmt="v2")
+    ix.process_batch(spark.createDataFrame(rows[:40], SCHEMA), 0)
+    ix.process_batch(spark.createDataFrame(rows[40:], SCHEMA), 1)
+    return d
+
+
+def test_stream_v2_multigeneration_queries(spark, streamed_v2, oracle):
+    """v2 streaming generations (sentinels + blooms in the segment
+    table, no docstats dir) answer rank-identically before compaction."""
+    import os
+
+    assert not os.path.exists(f"{streamed_v2}/docstats")
+    idx = SegmentIndex(spark, streamed_v2)
+    assert idx.stats.n_docs == 90
+    assert idx.stats.avgdl == pytest.approx(oracle.avgdl, rel=1e-12)
+    assert idx.has_sentinel and idx.bloom_cfg is not None
+    for terms, ph in [(["return"], False), (["return", "import"], False),
+                      (["if", "else"], True)]:
+        got = idx.search(terms, k=10, is_phrase=ph).collect()
+        want = oracle.search(terms, k=10, is_phrase=ph)
+        assert [r["doc_id"] for r in got] == [d for d, _ in want]
+        for r, (_, s) in zip(got, want):
+            assert r["score"] == pytest.approx(s, rel=1e-12)
+
+
+def test_stream_v2_compaction_merges_sentinels_and_blooms(
+    spark, streamed_v2, oracle, tmp_path
+):
+    """compact_index on a v2 streaming index merges plain rows AND the
+    sentinel doc-length rows AND both bloom sides into one row per
+    (shard, term); the compacted index answers the full suite
+    rank-identically, with bloom pruning active again."""
+    from wiser_spark.operators.segments import (
+        BLOOM_BEGIN_PREFIX,
+        BLOOM_PREFIX,
+        DOCLEN_TERM,
+        compact_index,
+    )
+
+    out = str(tmp_path / "compacted_v2")
+    compact_index(spark, streamed_v2, out)
+    segs = spark.read.parquet(f"{out}/segments")
+    per_key = (
+        segs.groupBy("shard_id", "term").count()
+        .agg({"count": "max"}).collect()[0][0]
+    )
+    assert per_key == 1  # sentinels, blooms, and terms all merged
+    rows = segs.select("term").collect()
+    terms = [r["term"] for r in rows]
+    assert DOCLEN_TERM in terms
+    n_end = sum(t.startswith(BLOOM_PREFIX) for t in terms)
+    n_begin = sum(t.startswith(BLOOM_BEGIN_PREFIX) for t in terms)
+    n_plain = sum(
+        not t.startswith((BLOOM_PREFIX, BLOOM_BEGIN_PREFIX)) and t != DOCLEN_TERM
+        for t in terms
+    )
+    assert n_end == n_begin == n_plain > 0  # both sides survived the merge
+    idx = SegmentIndex(spark, out)
+    assert idx.stats.n_docs == 90
+    for terms_q, ph in [(["return"], False), (["return", "import"], False),
+                        (["return", "import"], True), (["if", "else"], True),
+                        (["def", "self", "return"], False)]:
+        got = idx.search(terms_q, k=10, is_phrase=ph).collect()
+        want = oracle.search(terms_q, k=10, is_phrase=ph)
+        assert [r["doc_id"] for r in got] == [d for d, _ in want]
+        for r, (_, s) in zip(got, want):
+            assert r["score"] == pytest.approx(s, rel=1e-12)
+
+
 @pytest.mark.parametrize(
     "terms,is_phrase",
     [(["return"], False), (["return", "import"], False), (["if", "else"], True)],

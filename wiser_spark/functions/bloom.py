@@ -3,27 +3,245 @@
 The reference stores, per (term, doc), a bloom filter of the tokens that
 FOLLOW the term in that doc (an "end" bloom) and one of the tokens that
 precede it ("begin"), probing them before the positional intersect
-(``bloom_filter.h:255-472``, probe ``query_processing.h:766-807``).
+(``bloom_filter.h:255-472``, probe ``query_processing.h:766-807``). The
+probe is SIDED: a 2-term phrase probes the smaller list's end/begin
+bloom, longer phrases fall back to the end-bloom chain
+(``query_processing.h:796-807``) — implemented in
+``operators/segments.py:_bloom_prune``.
 
-This rebuild keeps the semantics that matter — NO false negatives, so
-the probe is purely pruning and provably result-neutral — with a compact
-fixed layout: 64 bits per (term, doc) posting, k=2 md5-derived bit
-positions per member token. The sided begin/end choice of the reference
-is a cost optimization; the end-bloom chain (its own >2-term fallback,
-``query_processing.h:869-884``) is what we implement.
+SIZING matches the reference's libbloom math exactly
+(``libbloom/bloom.c:95-117``): bits-per-entry = -ln(ratio)/ln(2)^2,
+bits = int(entries * bpe), bytes rounded up, k = ceil(ln(2) * bpe) —
+with the reference defaults entries=5, ratio=0.001
+(``create_qq_mem_dump.cc:14-15``) that is 71 bits / 9 bytes / k=10 per
+posting. Bit positions come from md5 double hashing
+(bit_i = (a + i*b) mod bits, a/b from the term's md5) rather than the
+reference's murmur pair — the hash family is not part of the contract;
+what matters (and is tested) is NO FALSE NEGATIVES: every token OR'd in
+probes positive, so the pre-check only prunes and is provably
+result-neutral.
+
+STORAGE is the reference's bloom-box layout rendition
+(``flash_containers.h:499-561``): boxes of up to 128 posting-aligned
+bit arrays, each box = [0xF5 magic][count byte][presence bitmap,
+MSB-first as in ``ProduceBitmap``][the PRESENT arrays, fixed
+``nbytes`` each] — a posting whose neighbor set is empty (term only at
+document edge) stores nothing and reads back as an all-zero filter
+(probes negative, correctly). Per-box byte offsets ride in the segment
+row's skip column — the analogue of the reference's BloomSkipList
+(``flash_containers.h:616-646``).
+
+The legacy 64-bit/k=2 single-word helpers (token_bloom_bits et al.)
+remain for indexes written before the sized format and for the
+prune-rate comparison test.
 """
 
 from __future__ import annotations
 
 import hashlib
+import math
+from typing import NamedTuple
 
 import numpy as np
 
+BLOOM_BOX_MAGIC = 0xF5  # reference BLOOM_BOX_FIRST_BYTE (types.h:47)
+BOX_CAP = 128           # PACK_ITEM_CNT: postings per box
+
+_LN2_SQ = 0.480453013918201   # ln(2)^2, as spelled in libbloom
+_LN2 = 0.693147180559945
+
+
+class BloomParams(NamedTuple):
+    bits: int
+    nbytes: int
+    hashes: int
+    entries: int
+    ratio: float
+
+
+def bloom_params(entries: int = 5, ratio: float = 0.001) -> BloomParams:
+    """libbloom sizing (``bloom.c:95-117``), reference defaults."""
+    bpe = -(math.log(ratio) / _LN2_SQ)
+    bits = int(entries * bpe)
+    nbytes = bits // 8 + (1 if bits % 8 else 0)
+    hashes = int(math.ceil(_LN2 * bpe))
+    return BloomParams(bits, nbytes, hashes, entries, ratio)
+
+
+def token_bloom_mask(term: str, bp: BloomParams) -> np.ndarray:
+    """The k-bit byte mask a token sets/probes: md5 double hashing,
+    bit_i = (a + i*b) mod bits, LSB-first within each byte."""
+    h = hashlib.md5(term.encode()).digest()
+    a = int.from_bytes(h[0:8], "little")
+    # stride must be nonzero mod bits, or all k probes hit ONE bit and
+    # the false-positive rate degenerates (bits=71 is prime, so any
+    # stride in [1, bits-1] walks k distinct positions)
+    b = 1 + int.from_bytes(h[8:16], "little") % (bp.bits - 1)
+    idx = (
+        (np.uint64(a) + np.arange(bp.hashes, dtype=np.uint64) * np.uint64(b))
+        % np.uint64(bp.bits)
+    ).astype(np.int64)
+    mask = np.zeros(bp.nbytes, dtype=np.uint8)
+    np.bitwise_or.at(mask, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+    return mask
+
+
+def vocab_bloom_matrix(uniques, bp: BloomParams) -> np.ndarray:
+    """(V, nbytes) uint8 — one md5 per UNIQUE term."""
+    out = np.zeros((len(uniques), bp.nbytes), dtype=np.uint8)
+    for i, t in enumerate(uniques):
+        out[i] = token_bloom_mask(t, bp)
+    return out
+
+
+def fold_occurrence_bloom_rows(
+    occ_masks: np.ndarray, posting_starts: np.ndarray
+) -> np.ndarray:
+    """OR the per-occurrence neighbor masks into per-posting filters:
+    (occ, nbytes) -> (postings, nbytes)."""
+    if occ_masks.size == 0:
+        return occ_masks.reshape(0, occ_masks.shape[-1] if occ_masks.ndim else 0)
+    return np.bitwise_or.reduceat(occ_masks, posting_starts, axis=0)
+
+
+def probe_rows(blooms: np.ndarray, qmask: np.ndarray) -> np.ndarray:
+    """True where the posting's filter MAY contain the probed token
+    ((n, nbytes) & mask == mask across every byte)."""
+    return ((blooms & qmask) == qmask).all(axis=1)
+
+
+# ------------------------------------------------------------ bloom boxes
+def bloom_boxes_encode(mat: np.ndarray) -> tuple[bytes, list[int]]:
+    """(n, nbytes) posting filters -> (blob, per-box byte offsets).
+
+    Box: [0xF5][count 1..128][presence bitmap][present arrays]. All-zero
+    rows are ABSENT (presence bit 0) — the dominant case for rare terms,
+    where most docs contribute a filter but some postings sit at doc
+    edges."""
+    n = mat.shape[0]
+    parts: list[bytes] = []
+    offs: list[int] = []
+    pos = 0
+    for s in range(0, n, BOX_CAP):
+        chunk = mat[s : s + BOX_CAP]
+        pres = chunk.any(axis=1)
+        box = (
+            bytes([BLOOM_BOX_MAGIC, len(chunk)])
+            + np.packbits(pres).tobytes()     # MSB-first (ProduceBitmap)
+            + chunk[pres].tobytes()
+        )
+        offs.append(pos)
+        parts.append(box)
+        pos += len(box)
+    return b"".join(parts), offs
+
+
+def bloom_boxes_encode_batch(
+    mat: np.ndarray, lo: np.ndarray, hi: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Encode ONE box per [lo[t], hi[t]) row-range of ``mat`` in a
+    single vectorized pass (every range must fit one box: hi-lo <=
+    BOX_CAP). Returns (flat uint8 buffer, byte bounds): range t's box
+    blob is ``buf[bounds[t]:bounds[t+1]]`` and is byte-identical to
+    ``bloom_boxes_encode(mat[lo[t]:hi[t]])``.
+
+    This is the vocabulary-batched fast path of the map-side build: a
+    realistic code shard has ~10^5-10^6 distinct terms, almost all with
+    df < 128 — per-term packbits/tobytes calls (~10 us each) would
+    dominate the encode the same way per-term varint calls did before
+    round 2's batching. Here the presence bitmaps of ALL terms pack in
+    ONE np.packbits (each term starts byte-aligned in a padded bit
+    array) and the payload rows scatter with ragged-arange indexing."""
+    nbytes = mat.shape[1]
+    lo = np.asarray(lo, dtype=np.int64)
+    hi = np.asarray(hi, dtype=np.int64)
+    df = hi - lo
+    if df.size and int(df.max()) > BOX_CAP:
+        raise ValueError("batch encoder handles single-box ranges only")
+    pres = mat.any(axis=1)
+    pres_cum = np.concatenate(([0], np.cumsum(pres)))
+    k = pres_cum[hi] - pres_cum[lo]
+    bm_len = (df + 7) // 8
+    sizes = 2 + bm_len + k * nbytes
+    bounds = np.concatenate(([0], np.cumsum(sizes)))
+    out = np.zeros(int(bounds[-1]), dtype=np.uint8)
+    starts = bounds[:-1]
+    out[starts] = BLOOM_BOX_MAGIC
+    out[starts + 1] = df.astype(np.uint8)  # 1..128 fits a raw byte
+    n_rows = int(df.sum())
+    if n_rows:
+        # presence bitmaps: term t's bits live at byte-aligned offset
+        # pad[t] of a flat bit array -> one packbits, then scatter
+        pad = np.concatenate(([0], np.cumsum(bm_len * 8)))
+        term_of = np.repeat(np.arange(df.size), df)
+        within = np.arange(n_rows) - np.repeat(np.cumsum(df) - df, df)
+        flat = np.zeros(int(pad[-1]), dtype=np.uint8)
+        flat[pad[term_of] + within] = pres[np.repeat(lo, df) + within]
+        bm = np.packbits(flat)
+        nb_total = int(bm_len.sum())
+        t_of_b = np.repeat(np.arange(df.size), bm_len)
+        wb = np.arange(nb_total) - np.repeat(
+            np.cumsum(bm_len) - bm_len, bm_len
+        )
+        out[starts[t_of_b] + 2 + wb] = bm[(pad[t_of_b] >> 3) + wb]
+        # payload: PRESENT rows only, fixed nbytes each; range t's rows
+        # are the pres-masked rows pres_cum[lo[t]] .. pres_cum[hi[t]]
+        kb = k * nbytes
+        total_pay = int(kb.sum())
+        if total_pay:
+            src = mat[pres].reshape(-1)
+            pay_start = starts + 2 + bm_len
+            t_of_p = np.repeat(np.arange(df.size), kb)
+            wp = np.arange(total_pay) - np.repeat(np.cumsum(kb) - kb, kb)
+            out[pay_start[t_of_p] + wp] = src[
+                pres_cum[lo][t_of_p] * nbytes + wp
+            ]
+    return out, bounds
+
+
+def bloom_boxes_decode(
+    blob: bytes | np.ndarray, n: int, nbytes: int, offset: int = 0
+) -> np.ndarray:
+    """Decode ``n`` posting filters -> (n, nbytes) uint8 (absent rows
+    all-zero). ``offset`` allows partial decode from a box boundary."""
+    buf = (
+        np.frombuffer(blob, dtype=np.uint8)
+        if not isinstance(blob, np.ndarray)
+        else blob
+    )
+    out = np.zeros((n, nbytes), dtype=np.uint8)
+    got, pos = 0, offset
+    while got < n:
+        if buf[pos] != BLOOM_BOX_MAGIC:
+            raise ValueError(f"bad bloom box magic at {pos}: {buf[pos]:#x}")
+        cnt = int(buf[pos + 1])
+        bm_len = (cnt + 7) // 8
+        pres = np.unpackbits(buf[pos + 2 : pos + 2 + bm_len])[:cnt].astype(bool)
+        k = int(pres.sum())
+        payload = buf[pos + 2 + bm_len : pos + 2 + bm_len + k * nbytes]
+        take = min(cnt, n - got)
+        rows = out[got : got + cnt] if take == cnt else None
+        if rows is None:
+            # caller asked for fewer than the box holds — decode whole
+            # box shape then slice (boxes are posting-aligned, so this
+            # only happens on a truncated read request)
+            full = np.zeros((cnt, nbytes), dtype=np.uint8)
+            full[pres] = payload.reshape(k, nbytes)
+            out[got : got + take] = full[:take]
+        else:
+            rows[pres] = payload.reshape(k, nbytes)
+        got += take
+        pos += 2 + bm_len + k * nbytes
+    return out
+
+
+# ----------------------------------------------- legacy 64-bit rendition
 BLOOM_BITS = 64
 
 
 def token_bloom_bits(term: str) -> int:
-    """The k=2 bit mask a token sets/probes in a 64-bit bloom."""
+    """Legacy fixed-64-bit mask (k=2 md5 bit positions) — kept for
+    indexes written before the sized bloom-box format."""
     h = hashlib.md5(term.encode()).digest()
     h1 = h[0] % BLOOM_BITS
     h2 = ((h[1] << 8) | h[2]) % BLOOM_BITS
@@ -31,7 +249,7 @@ def token_bloom_bits(term: str) -> int:
 
 
 def vocab_bloom_table(uniques) -> np.ndarray:
-    """bits mask per vocabulary code (uint64), one md5 per UNIQUE term."""
+    """Legacy: bits mask per vocabulary code (uint64)."""
     return np.fromiter(
         (token_bloom_bits(t) for t in uniques), dtype=np.uint64, count=len(uniques)
     )
@@ -40,13 +258,13 @@ def vocab_bloom_table(uniques) -> np.ndarray:
 def fold_occurrence_blooms(
     occ_bits: np.ndarray, posting_starts: np.ndarray
 ) -> np.ndarray:
-    """OR the per-occurrence next-token masks into per-posting blooms."""
+    """Legacy: OR per-occurrence uint64 masks into per-posting blooms."""
     if occ_bits.size == 0:
         return np.zeros(0, dtype=np.uint64)
     return np.bitwise_or.reduceat(occ_bits, posting_starts)
 
 
 def probe(blooms: np.ndarray, qbits: int) -> np.ndarray:
-    """True where the posting's bloom MAY contain the probed token."""
+    """Legacy: True where the posting's bloom MAY contain the token."""
     q = np.uint64(qbits)
     return (blooms & q) == q

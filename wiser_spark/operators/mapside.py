@@ -231,27 +231,35 @@ def encode_doc_batches(
     )
     term_bounds = np.append(term_breaks, len(posting_code))
     pos_starts = np.cumsum(tfs_all) - tfs_all
-    # per-posting end blooms: OR the next-token masks per posting
+    # per-posting end blooms: OR the next-token masks per posting.
+    # SIZED filters (reference libbloom defaults entries=5 ratio=0.001
+    # -> 71 bits / 9 bytes / k=10 per posting): one md5 per UNIQUE term
+    # builds the (V, nbytes) mask table; per-occurrence rows are then a
+    # fancy-index + one reduceat — no per-occurrence hashing
     if with_blooms:
         from wiser_spark.functions.bloom import (
-            fold_occurrence_blooms,
-            vocab_bloom_table,
+            bloom_params,
+            fold_occurrence_bloom_rows,
+            vocab_bloom_matrix,
         )
 
-        vocab_bits = vocab_bloom_table(uniques)
+        bp = bloom_params()
+        vocab_masks = vocab_bloom_matrix(uniques, bp)
         p_starts_idx = np.flatnonzero(new_posting)
         nxt_sorted = nxt[order]
-        occ_bits = np.where(
-            nxt_sorted >= 0, vocab_bits[np.maximum(nxt_sorted, 0)], np.uint64(0)
+        occ_masks = vocab_masks[np.maximum(nxt_sorted, 0)] * (
+            (nxt_sorted >= 0)[:, None]
         )
-        posting_blooms = fold_occurrence_blooms(occ_bits, p_starts_idx)
+        posting_blooms = fold_occurrence_bloom_rows(occ_masks, p_starts_idx)
         # begin blooms: same fold over the PRECEDING-token masks
         # (reference builds both sides, bloom_filter.h:595-646)
         prv_sorted = prv[order]
-        occ_bits_b = np.where(
-            prv_sorted >= 0, vocab_bits[np.maximum(prv_sorted, 0)], np.uint64(0)
+        occ_masks_b = vocab_masks[np.maximum(prv_sorted, 0)] * (
+            (prv_sorted >= 0)[:, None]
         )
-        posting_blooms_begin = fold_occurrence_blooms(occ_bits_b, p_starts_idx)
+        posting_blooms_begin = fold_occurrence_bloom_rows(
+            occ_masks_b, p_starts_idx
+        )
     # ---- term encode, VOCABULARY-BATCHED. A real code corpus has
     # millions of distinct terms per shard and almost all of them have
     # df < PACK_SIZE (pure varint-tail columns, no frames). Encoding
@@ -288,10 +296,19 @@ def encode_doc_batches(
     off_flat[1::2] = en
     off_blob_all, off_b = _flat_stream(off_flat, 2 * pos_starts)
     if with_blooms:
-        be_blob_all, be_lens = varint_encode_with_lengths(posting_blooms)
-        be_b = np.concatenate(([0], np.cumsum(be_lens)))
-        bb_blob_all, bb_lens = varint_encode_with_lengths(posting_blooms_begin)
-        bb_b = np.concatenate(([0], np.cumsum(bb_lens)))
+        # bloom boxes, vocabulary-batched: every df<=128 term's box is a
+        # slice of ONE flat buffer (single packbits / single payload
+        # scatter across the whole shard); multi-box terms take the
+        # per-term path below
+        from wiser_spark.functions.bloom import bloom_boxes_encode_batch
+
+        one_box = np.minimum(term_hi, term_lo + PACK_SIZE)
+        be_buf, be_bounds = bloom_boxes_encode_batch(
+            posting_blooms, term_lo, one_box
+        )
+        bb_buf, bb_bounds = bloom_boxes_encode_batch(
+            posting_blooms_begin, term_lo, one_box
+        )
 
     R = 3 if with_blooms else 1
     n_rows = n_terms * R
@@ -307,7 +324,8 @@ def encode_doc_batches(
     ol, oh = occ_lo.tolist(), occ_hi.tolist()
     db, tb, pb, ob = docid_b.tolist(), tf_b.tolist(), pos_b.tolist(), off_b.tolist()
     if with_blooms:
-        beb, bbb = be_b.tolist(), bb_b.tolist()
+        beb, bbb = be_bounds.tolist(), bb_bounds.tolist()
+        be_bytes, bb_bytes = be_buf.tobytes(), bb_buf.tobytes()
     code_l = posting_code[term_lo].tolist()
     ZERO, EMPTY = [0], []
     for t in range(n_terms):
@@ -340,17 +358,15 @@ def encode_doc_batches(
                       "skip_pos_offs", "skip_off_offs"):
                 col[k][base] = r[k]
         if with_blooms:
-            for j, (pref, blob_all, bounds) in enumerate(
-                ((BLOOM_PREFIX, be_blob_all, beb),
-                 (BLOOM_BEGIN_PREFIX, bb_blob_all, bbb)), start=1
+            for j, (pref, flat_bytes, bounds) in enumerate(
+                ((BLOOM_PREFIX, be_bytes, beb),
+                 (BLOOM_BEGIN_PREFIX, bb_bytes, bbb)), start=1
             ):
                 row = base + j
                 col["term"][row] = pref + term
                 df_col[row] = df
-                if df < PACK_SIZE:
-                    col["tfs_blob"][row] = varint_tail_box(
-                        blob_all[bounds[lo]:bounds[hi]]
-                    )
+                if df <= PACK_SIZE:  # single bloom box: flat-buffer slice
+                    col["tfs_blob"][row] = flat_bytes[bounds[t]:bounds[t + 1]]
                     col["skip_tf_offs"][row] = ZERO
                 else:
                     blooms = (
@@ -470,6 +486,10 @@ def write_index_mapside(
         "format": "wiser-spark-segment-v2-mapside",
         "doclen_sentinel": True,
     }
+    if with_blooms:
+        from wiser_spark.functions.bloom import bloom_params
+
+        meta["bloom"] = bloom_params()._asdict()
     os.makedirs(index_dir, exist_ok=True)
     with open(f"{index_dir}/stats.json", "w") as f:
         json.dump(meta, f, indent=1)

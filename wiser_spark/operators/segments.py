@@ -82,22 +82,27 @@ BLOOM_PREFIXES = (BLOOM_PREFIX, BLOOM_BEGIN_PREFIX)
 
 
 def bloom_row(
-    shard_id: int, term: str, blooms, prefix: str = BLOOM_PREFIX
+    shard_id: int, term: str, bloom_mat: np.ndarray, prefix: str = BLOOM_PREFIX
 ) -> dict:
-    # blooms are full-range uint64 masks: force width 64 so the frames
-    # pack as raw little-endian bytes (memcpy) instead of bit games
-    blob, offs = encode_column(np.asarray(blooms, dtype=np.uint64), force_width=64)
+    """One term's per-posting SIZED bloom filters ((n, nbytes) uint8,
+    posting-aligned with the term row's docID order) -> one bloom-box
+    segment row (reference flash_containers.h:499-561; sizing
+    bloom.bloom_params). skip_tf_offs carries the per-box byte offsets
+    — the BloomSkipList analogue enabling partial decode."""
+    from wiser_spark.functions.bloom import bloom_boxes_encode
+
+    blob, offs = bloom_boxes_encode(np.asarray(bloom_mat, dtype=np.uint8))
     return {
         "shard_id": shard_id,
         "term": prefix + term,
-        "df_shard": len(blooms),
+        "df_shard": int(bloom_mat.shape[0]),
         "docids_blob": b"",
         "tfs_blob": blob,
         "pos_blob": b"",
         "off_blob": b"",
         "skip_predocs": [],
         "skip_docid_offs": [],
-        "skip_tf_offs": offs.tolist(),
+        "skip_tf_offs": offs,
         "skip_pos_offs": [],
         "skip_off_offs": [],
     }
@@ -359,7 +364,8 @@ def _conjunct(decoded, terms_l):
     return cand
 
 
-def _bloom_prune(cand, decoded, terms_l, bloom_rows, rows_by_term):
+def _bloom_prune(cand, decoded, terms_l, bloom_rows, rows_by_term,
+                 bloom_cfg=None):
     """Phrase bloom pre-check (ref Q8): prune candidates whose blooms
     prove the adjacency impossible. No false negatives by construction,
     so this only prunes; the positional intersect stays the gate.
@@ -368,19 +374,36 @@ def _bloom_prune(cand, decoded, terms_l, bloom_rows, rows_by_term):
     (query_processing.h:796-807, bloom_enable_factor = 1): a 2-term
     phrase probes the SMALLER list's bloom — end bloom of t0 if
     |t0| <= |t1|, else begin bloom of t1; >2 terms fall back to the
-    end-bloom chain (:784-793)."""
-    from wiser_spark.functions.bloom import token_bloom_bits
+    end-bloom chain (:784-793).
+
+    Two filter renditions, sniffed by blob magic: the sized bloom-box
+    format (reference libbloom sizing + box layout; ``bloom_cfg``
+    carries bits/bytes/hashes from the index meta) and the legacy
+    fixed-64-bit rendition of earlier indexes."""
+    from wiser_spark.functions.bloom import (
+        BLOOM_BOX_MAGIC,
+        bloom_boxes_decode,
+        bloom_params,
+        probe_rows,
+        token_bloom_bits,
+        token_bloom_mask,
+    )
 
     def prune(cnd, kind, term, probe_term):
         brows = bloom_rows.get((kind, term))
         if brows is None or len(brows) != 1 or len(rows_by_term[term]) != 1:
             return cnd
         n_post = int(brows[0]["df_shard"])
-        blooms = decode_column(brows[0]["tfs_blob"], n_post)
+        blob = brows[0]["tfs_blob"]
         ids = decoded[term][0]
-        if blooms.size != ids.size:
+        if n_post != ids.size or len(blob) == 0:
             return cnd
         at = np.searchsorted(ids, cnd)
+        if blob[0] == BLOOM_BOX_MAGIC:
+            bp = bloom_cfg or bloom_params()
+            blooms = bloom_boxes_decode(blob, n_post, bp.nbytes)
+            return cnd[probe_rows(blooms[at], token_bloom_mask(probe_term, bp))]
+        blooms = decode_column(blob, n_post)
         qb = np.uint64(token_bloom_bits(probe_term))
         return cnd[(blooms[at] & qb) == qb]
 
@@ -456,71 +479,153 @@ def _bm25_scores(decoded, terms_l, cand, codes, idfs, cache, k1):
 
 
 # ------------------------------------------------------------- compaction
-def compact_segments(segments: DataFrame) -> DataFrame:
+def compact_segments(
+    segments: DataFrame, bloom_nbytes: int | None = None
+) -> DataFrame:
     """Merge multi-generation segment rows into ONE row per (shard,
     term) — the engine's rendition of the reference's qq->vacuum merge
     (B18, ``convert_qq_to_vacuum.cc:22-37``) and of a Lucene segment
     merge. Generations' doc ranges are disjoint (docIDs append-only), so
     merging = decode each generation, concatenate in docID order,
     re-encode; the shuffle key (shard_id, term) is bounded by the
-    shard's doc count. Streaming (v1) indexes only — rows must be plain
-    term rows (no sentinel/bloom rows)."""
+    shard's doc count.
+
+    Handles BOTH formats: plain v1 term rows AND the v2 map-side
+    extras — sentinel doc-length rows merge by docID concatenation,
+    and each bloom SIDE merges by decoding every generation's boxes and
+    re-encoding in the merged term row's docID order. Bloom/term
+    alignment uses the ``gen``/``generation`` column when present
+    (streaming indexes partition by it); a bloom side that cannot be
+    aligned unambiguously is DROPPED, which is always result-neutral:
+    blooms are pruning-only and queries skip the pre-check when the
+    row is absent."""
+    from wiser_spark.functions.bloom import (
+        BLOOM_BOX_MAGIC,
+        bloom_boxes_decode,
+        bloom_params,
+    )
+
+    nbytes = bloom_nbytes or bloom_params().nbytes
+    cols = [f.split()[0] for f in SEGMENT_SCHEMA.split(", ")]
+    segs = segments
+    if "gen" not in segs.columns:
+        if "generation" in segs.columns:
+            segs = segs.withColumn("gen", F.col("generation").cast("long"))
+        else:
+            segs = segs.withColumn("gen", F.lit(0).cast("long"))
+    first_c = F.substring("term", 1, 1)
+    segs = segs.select(*cols, "gen").withColumn(
+        "base",
+        F.when(first_c.isin(*BLOOM_PREFIXES), F.expr("substring(term, 2)"))
+        .otherwise(F.col("term")),
+    )
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        term = pdf["term"].iloc[0]
-        assert term != DOCLEN_TERM and not term.startswith(BLOOM_PREFIXES), (
-            "compaction expects a v1 streaming index (plain term rows)"
-        )
         shard_id = int(pdf["shard_id"].iloc[0])
+        base = pdf["base"].iloc[0]
+        sides: dict[str, list] = {"plain": [], "end": [], "begin": []}
+        for _, r in pdf.iterrows():
+            t = r["term"]
+            kind = (
+                "end" if t.startswith(BLOOM_PREFIX)
+                else "begin" if t.startswith(BLOOM_BEGIN_PREFIX)
+                else "plain"
+            )
+            sides[kind].append(r)
+        if base == DOCLEN_TERM:
+            # sentinel rows: self-ordering by docID, true lengths ride
+            # in pos_blob so the merged Char4 bytes re-derive exactly
+            parts = [decode_doclen_sentinel(r) for r in sides["plain"]]
+            parts.sort(key=lambda p: int(p[0][0]) if len(p[0]) else 0)
+            ids = np.concatenate([p[0] for p in parts])
+            lens = np.concatenate([p[2] for p in parts])
+            return pd.DataFrame([doclen_sentinel_row(shard_id, ids, lens)])
         # offsets survive the merge only if EVERY generation carries
         # them (a mixed index can't produce a complete merged column)
-        with_off = all(len(b) for b in pdf["off_blob"])
+        plain = sides["plain"]
+        if not plain:  # orphan bloom rows (shouldn't happen): drop them
+            return pd.DataFrame(columns=cols)
+        with_off = all(len(r["off_blob"]) for r in plain)
         parts = [
-            decode_segment_row(r, with_positions=True, with_offsets=with_off)
-            for _, r in pdf.iterrows()
+            (int(r["gen"]),
+             decode_segment_row(r, with_positions=True, with_offsets=with_off))
+            for r in plain
         ]
-        parts.sort(key=lambda p: int(p[0][0]))
-        ids = np.concatenate([p[0] for p in parts])
-        tfs = np.concatenate([p[1] for p in parts])
+        parts.sort(key=lambda p: int(p[1][0][0]))
+        gen_order = [g for g, _ in parts]
+        ids = np.concatenate([p[0] for _, p in parts])
+        tfs = np.concatenate([p[1] for _, p in parts])
         flat_pos = np.concatenate(
-            [pl for p in parts for pl in p[2]]
+            [pl for _, p in parts for pl in p[2]]
             or [np.zeros(0, dtype=np.int64)]
         )
         flat_off = (
             np.concatenate(
-                [ol for p in parts for ol in p[3]]
+                [ol for _, p in parts for ol in p[3]]
                 or [np.zeros(0, dtype=np.int64)]
             )
             if with_off
             else None
         )
-        return pd.DataFrame(
-            [_encode_term_flat(shard_id, term, ids, tfs, flat_pos, flat_off)]
-        )
+        out_rows = [
+            _encode_term_flat(shard_id, base, ids, tfs, flat_pos, flat_off)
+        ]
+        for kind, pref in (("end", BLOOM_PREFIX), ("begin", BLOOM_BEGIN_PREFIX)):
+            side = sides[kind]
+            if not side:
+                continue
+            by_gen = {int(r["gen"]): r for r in side}
+            aligned = (
+                len(by_gen) == len(side)
+                and sorted(by_gen) == sorted(gen_order)
+                and all(
+                    len(r["tfs_blob"]) and r["tfs_blob"][0] == BLOOM_BOX_MAGIC
+                    for r in side
+                )
+                and all(
+                    int(by_gen[g]["df_shard"]) == p[0].size
+                    for g, p in parts
+                )
+            )
+            if not aligned:
+                continue  # drop: pruning-only, result-neutral
+            mat = np.concatenate(
+                [
+                    bloom_boxes_decode(
+                        by_gen[g]["tfs_blob"], int(by_gen[g]["df_shard"]), nbytes
+                    )
+                    for g, _ in parts
+                ]
+            )
+            out_rows.append(bloom_row(shard_id, base, mat, prefix=pref))
+        return pd.DataFrame(out_rows)
 
-    cols = [f.split()[0] for f in SEGMENT_SCHEMA.split(", ")]
-    return segments.select(*cols).groupBy("shard_id", "term").applyInPandas(
+    return segs.groupBy("shard_id", "base").applyInPandas(
         merge, SEGMENT_SCHEMA
     )
 
 
 def compact_index(spark: SparkSession, index_dir: str, out_dir: str) -> None:
-    """Compact a streaming index directory into a single-generation
-    index at ``out_dir`` (segments merged per (shard, term); docstats /
+    """Compact a multi-generation index directory into a single-
+    generation index at ``out_dir`` (segments merged per (shard, term)
+    — including v2 sentinel and bloom rows; docstats (if any) /
     dictionary / stats.json carried over). Queries over the compacted
-    index are identical; per-term read cost drops to one row."""
+    index are identical; per-term read cost drops to one row, and
+    bloom pruning re-activates (multi-generation rows skip it)."""
+    with open(f"{index_dir}/stats.json") as f:
+        meta = json.load(f)
     segs = spark.read.parquet(f"{index_dir}/segments")
-    compact_segments(segs).write.mode("overwrite").partitionBy(
+    nbytes = (meta.get("bloom") or {}).get("nbytes")
+    compact_segments(segs, nbytes).write.mode("overwrite").partitionBy(
         "shard_id"
     ).parquet(f"{out_dir}/segments")
-    spark.read.parquet(f"{index_dir}/docstats").write.mode(
-        "overwrite"
-    ).parquet(f"{out_dir}/docstats")
+    if os.path.exists(f"{index_dir}/docstats"):
+        spark.read.parquet(f"{index_dir}/docstats").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/docstats")
     spark.read.parquet(f"{index_dir}/dictionary").write.mode(
         "overwrite"
     ).parquet(f"{out_dir}/dictionary")
-    with open(f"{index_dir}/stats.json") as f:
-        meta = json.load(f)
     meta["compacted"] = True
     os.makedirs(out_dir, exist_ok=True)
     with open(f"{out_dir}/stats.json", "w") as f:
@@ -594,6 +699,12 @@ class SegmentIndex:
         # v2 (map-side) indexes carry doc lengths as in-shard sentinel
         # rows; v1 keeps a separate docstats table (query-time cogroup)
         self.has_sentinel = bool(self.meta.get("doclen_sentinel"))
+        # sized-bloom geometry (bits/bytes/hashes), absent on legacy
+        # 64-bit-bloom indexes
+        from wiser_spark.functions.bloom import BloomParams
+
+        b = self.meta.get("bloom")
+        self.bloom_cfg = BloomParams(**b) if b else None
         self.docstats = (
             None
             if self.has_sentinel
@@ -657,6 +768,8 @@ class SegmentIndex:
         terms_l = list(terms)
         need_pos = is_phrase and len(terms_l) > 1
         k1 = params.k1
+        bloom_cfg = self.bloom_cfg  # plain local: the UDF closure must
+        # not capture self (it drags the SparkSession into the pickle)
 
         # doc-length lookup: v2 reads the in-shard sentinel row; v1
         # cogroups a docstats slice per shard
@@ -705,7 +818,8 @@ class SegmentIndex:
             if cand.size == 0:
                 return out_empty
             if need_pos:
-                cand = _bloom_prune(cand, decoded, terms_l, bloom_rows, rows_by_term)
+                cand = _bloom_prune(cand, decoded, terms_l, bloom_rows,
+                                    rows_by_term, bloom_cfg)
                 if cand.size == 0:
                     return out_empty
             phrase_surv = None
@@ -845,6 +959,7 @@ class SegmentIndex:
         }
         cache = tfnorm_cache(avgdl, params)
         k1 = params.k1
+        bloom_cfg = self.bloom_cfg
         # positions are decoded ONLY for terms that appear in a phrase
         # query — one long phrase in a big log must not make every hot
         # term's positional stream decode
@@ -898,7 +1013,8 @@ class SegmentIndex:
                     continue
                 if ph:
                     cand = _bloom_prune(
-                        cand, decoded, terms_l, bloom_rows, rows_by_term
+                        cand, decoded, terms_l, bloom_rows, rows_by_term,
+                        bloom_cfg,
                     )
                     if cand.size == 0:
                         continue

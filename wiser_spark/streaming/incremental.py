@@ -58,11 +58,24 @@ class IncrementalIndexer:
         config: IndexConfig | None = None,
         order_cols=("repo", "path", "commit"),
         content_col: str = "content",
+        fmt: str = "v1",
+        with_blooms: bool = True,
     ):
+        """``fmt="v1"``: shuffle-built generations + docstats table (the
+        original streaming layout). ``fmt="v2"``: each generation is
+        built with the ZERO-SHUFFLE map-side encoder — sentinel
+        doc-length rows and both bloom sides ride inside the segment
+        table, no docstats table exists, and ``compact_index`` merges
+        the generations (sentinels and blooms included) into the same
+        single-generation layout a batch map-side build writes."""
+        if fmt not in ("v1", "v2"):
+            raise ValueError(f"unknown streaming index format: {fmt}")
         self.index_dir = index_dir
         self.config = config or IndexConfig()
         self.order_cols = list(order_cols)
         self.content_col = content_col
+        self.fmt = fmt
+        self.with_blooms = with_blooms
 
     # ------------------------------------------------------- commit log
     @property
@@ -77,8 +90,15 @@ class IncrementalIndexer:
         except FileNotFoundError:
             return {}
 
-    def _append_commit(self, commits: dict, batch_id: int, start: int, n: int):
-        commits[str(batch_id)] = [start, n]
+    def _append_commit(
+        self, commits: dict, batch_id: int, start: int, n: int,
+        lensum: int | None = None,
+    ):
+        # v1 entries: [start, n]; v2 adds the batch's summed doc length
+        # (avgdl bookkeeping — v2 has no docstats table to average over)
+        commits[str(batch_id)] = (
+            [start, n] if lensum is None else [start, n, lensum]
+        )
         tmp = self._commit_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(commits, f)
@@ -108,42 +128,88 @@ class IncrementalIndexer:
             "doc_id", (F.row_number().over(w) - 1 + offset).cast("long")
         )
         n_docs = docs.count()
-        postings = build_postings(docs, content_col=self.content_col)
-        docstats = build_docstats(docs, content_col=self.content_col)
-
         staging = f"{self.index_dir}/_staging/{batch_id}"
-        build_segments(postings, self.config.n_shards).write.mode(
-            "overwrite"
-        ).partitionBy("shard_id").parquet(f"{staging}/segments")
-        docstats.select("doc_id", "doclen", "doclen_char").write.mode(
-            "overwrite"
-        ).parquet(f"{staging}/docstats")
-        postings.groupBy("term").agg(
-            F.count("*").cast("int").alias("df")
-        ).write.mode("overwrite").parquet(f"{staging}/dictionary_deltas")
+        lensum = None
+        if self.fmt == "v2":
+            from wiser_spark.functions.tokenize import doclen_col
+            from wiser_spark.operators.mapside import build_segments_mapside
+            from wiser_spark.operators.segments import SEGMENT_SCHEMA
+
+            segs = build_segments_mapside(
+                docs, self.config.n_shards, self.content_col,
+                with_blooms=self.with_blooms,
+            )
+            segs.write.mode("overwrite").partitionBy("shard_id").parquet(
+                f"{staging}/segments"
+            )
+            # dictionary delta from the STAGED rows (plain term rows
+            # only) — no second tokenize pass over the batch
+            staged = spark.read.schema(SEGMENT_SCHEMA).parquet(
+                f"{staging}/segments"
+            )
+            (
+                staged.filter(
+                    (F.col("term") != "")
+                    & ~F.substring("term", 1, 1).isin("\x01", "\x02")
+                )
+                .groupBy("term")
+                .agg(F.sum("df_shard").cast("int").alias("df"))
+                .write.mode("overwrite")
+                .parquet(f"{staging}/dictionary_deltas")
+            )
+            # running avgdl bookkeeping rides in the commit log (no
+            # docstats table in v2 — sentinels carry per-doc lengths)
+            lensum = int(
+                docs.agg(
+                    F.sum(doclen_col(F.col(self.content_col)).cast("long"))
+                ).collect()[0][0]
+                or 0
+            )
+            tables = ("segments", "dictionary_deltas")
+        else:
+            postings = build_postings(docs, content_col=self.content_col)
+            docstats = build_docstats(docs, content_col=self.content_col)
+            build_segments(postings, self.config.n_shards).write.mode(
+                "overwrite"
+            ).partitionBy("shard_id").parquet(f"{staging}/segments")
+            docstats.select("doc_id", "doclen", "doclen_char").write.mode(
+                "overwrite"
+            ).parquet(f"{staging}/docstats")
+            postings.groupBy("term").agg(
+                F.count("*").cast("int").alias("df")
+            ).write.mode("overwrite").parquet(f"{staging}/dictionary_deltas")
+            tables = _TABLES
 
         # atomic per-table publish: generation=<id> partition dirs. A
         # leftover from a crashed attempt of this SAME batch is replaced
         # (it was never committed; the retry produced identical data).
-        for table in _TABLES:
+        for table in tables:
             dst = f"{self.index_dir}/{table}/generation={batch_id}"
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             if os.path.exists(dst):
                 shutil.rmtree(dst)
             os.rename(f"{staging}/{table}", dst)
         shutil.rmtree(staging, ignore_errors=True)
-        self._append_commit(commits, batch_id, offset, n_docs)
+        self._append_commit(commits, batch_id, offset, n_docs, lensum)
         self._refresh_meta(spark)
 
     def _next_doc_id(self, commits: dict) -> int:
         """Dense append-only docIDs: the end of the committed ranges."""
-        return max((s + n for s, n in commits.values()), default=0)
+        return max((v[0] + v[1] for v in commits.values()), default=0)
 
     def _refresh_meta(self, spark: SparkSession) -> None:
-        stats = spark.read.parquet(f"{self.index_dir}/docstats").agg(
-            F.count("*").alias("n"),
-            F.avg(F.col("doclen").cast("double")).alias("avgdl"),
-        ).collect()[0]
+        if self.fmt == "v2":
+            # N and avgdl from the commit log's [start, n, lensum] rows
+            commits = self._read_commits()
+            n_docs = sum(v[1] for v in commits.values())
+            lensum = sum((v[2] if len(v) > 2 else 0) for v in commits.values())
+            avgdl = (lensum / n_docs) if n_docs else 1.0
+        else:
+            stats = spark.read.parquet(f"{self.index_dir}/docstats").agg(
+                F.count("*").alias("n"),
+                F.avg(F.col("doclen").cast("double")).alias("avgdl"),
+            ).collect()[0]
+            n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
         # fold delta dictionaries into the queryable (term, df) table
         spark.read.parquet(f"{self.index_dir}/dictionary_deltas").groupBy(
             "term"
@@ -151,14 +217,21 @@ class IncrementalIndexer:
             "overwrite"
         ).parquet(f"{self.index_dir}/dictionary")
         meta = {
-            "n_docs": int(stats["n"]),
-            "avgdl": float(stats["avgdl"]),
+            "n_docs": n_docs,
+            "avgdl": avgdl,
             "n_shards": self.config.n_shards,
             "k1": self.config.bm25.k1,
             "b": self.config.bm25.b,
-            "format": "wiser-spark-segment-v1",
+            "format": f"wiser-spark-segment-{self.fmt}"
+            + ("-mapside" if self.fmt == "v2" else ""),
             "streaming": True,
         }
+        if self.fmt == "v2":
+            meta["doclen_sentinel"] = True
+            if self.with_blooms:
+                from wiser_spark.functions.bloom import bloom_params
+
+                meta["bloom"] = bloom_params()._asdict()
         with open(f"{self.index_dir}/stats.json", "w") as f:
             json.dump(meta, f, indent=1)
 
@@ -172,12 +245,15 @@ def start_incremental_index(
     config: IndexConfig | None = None,
     order_cols=("repo", "path", "commit"),
     content_col: str = "content",
+    fmt: str = "v1",
 ):
     """File-source streaming build: new parquet files under ``input_dir``
     are ingested exactly-once (Structured Streaming checkpointing + the
     idempotent commit-log sink) into the index at ``index_dir``. Returns
-    the StreamingQuery."""
-    indexer = IncrementalIndexer(index_dir, config, order_cols, content_col)
+    the StreamingQuery. ``fmt="v2"`` writes zero-shuffle map-side
+    generations (sentinels + blooms in the segment table)."""
+    indexer = IncrementalIndexer(index_dir, config, order_cols, content_col,
+                                 fmt=fmt)
     stream = spark.readStream.schema(schema).parquet(input_dir)
     return (
         stream.writeStream.foreachBatch(indexer.process_batch)
