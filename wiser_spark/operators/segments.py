@@ -456,6 +456,42 @@ def _phrase_intersect(decoded, terms_l, cand):
     return cand[np.unique(surv >> np.int64(32))], surv, cand
 
 
+def _winner_offsets(decoded, terms_l, winners, phrase_surv, cand_pre):
+    """Matched offset pairs per term for the <= k shard-local winners
+    only (per-doc Python over k docs — never over candidates):
+    ExpandOffsets for term queries; FilterOffsetByPosition for phrases
+    (reference query_processing.h:446-492). Returns one
+    [per-term flat [s,e,...] list] per winner."""
+    n_terms = len(terms_l)
+    offs_col = []
+    for doc in winners:
+        per_term = []
+        for i, t in enumerate(terms_l):
+            ids, tfs, plists, olists = decoded[t]
+            at = int(np.searchsorted(ids, doc))
+            o = np.asarray(olists[at], dtype=np.int64)
+            if o.size == 0:
+                # index without stored offsets (v1 streaming builds):
+                # emit no spans so the snippet layer falls back to
+                # re-tokenization — also for phrase queries, which
+                # would otherwise index into the empty span array
+                per_term.append([])
+                continue
+            if phrase_surv is not None and n_terms > 1:
+                ci = int(np.searchsorted(cand_pre, doc))
+                mine = phrase_surv[(phrase_surv >> np.int64(32)) == ci]
+                pos_i = np.unique(
+                    (mine & np.int64(0xFFFFFFFF)) + i - n_terms
+                )
+                j = np.searchsorted(plists[at], pos_i)
+                pairs = np.stack([o[2 * j], o[2 * j + 1]], axis=1).ravel()
+                per_term.append(pairs.tolist())
+            else:
+                per_term.append(o.tolist())
+        offs_col.append(per_term)
+    return offs_col
+
+
 def _doclen_codes(sentinel_rows, len_pdf, cand):
     """Lossy doc-length byte per candidate: from the in-shard sentinel
     rows (v2) or the cogrouped docstats slice (v1)."""
@@ -720,6 +756,170 @@ class SegmentIndex:
         m = {r["term"]: int(r["df"]) for r in rows}
         return [m.get(t, 0) for t in terms]
 
+    def _per_shard_topk(self, queries, k: int, offs_qids: frozenset = frozenset()):
+        """The ONE shard-pass kernel behind both ``search`` and
+        ``search_batch``: one scan + one Arrow stage answers every
+        query in ``queries`` = [(query_id, terms, is_phrase)]. Each
+        shard decodes every referenced term ONCE (shared across queries
+        that reuse a term), conjuncts/bloom-prunes/phrase-intersects/
+        scores per query, and emits <= k rows per (query, shard):
+        (query_id, doc_id, score[, offs]).
+
+        ``offs_qids``: query ids whose <= k shard winners also carry
+        their MATCHED offset pairs per term — all occurrences for term
+        queries, position-filtered for phrases (reference
+        ``query_processing.h:446-492``) — the snippet feed. Offsets are
+        read and decoded ONLY for those queries' terms.
+
+        Returns None when no query can produce rows (empty/absent-term
+        queries — AND semantics, reference qq_mem_engine.h:345-347)."""
+        qlist = [
+            (int(qid), [str(t) for t in terms], bool(ph) and len(terms) > 1)
+            for qid, terms, ph in queries
+            if terms
+        ]
+        if not qlist:
+            return None
+        all_terms = sorted({t for _, terms, _ in qlist for t in terms})
+        df_rows = self.dictionary.filter(F.col("term").isin(all_terms)).collect()
+        df_map = {r["term"]: int(r["df"]) for r in df_rows}
+        # AND semantics: a query with any absent term is empty
+        qlist = [q for q in qlist if all(t in df_map for t in q[1])]
+        if not qlist:
+            return None
+        n_docs, avgdl = self.stats.n_docs, self.stats.avgdl
+        idfs = {
+            t: float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+            for t, df in df_map.items()
+        }
+        cache = tfnorm_cache(avgdl, self.params)
+        k1 = self.params.k1
+        bloom_cfg = self.bloom_cfg  # plain locals: the UDF closure must
+        has_sentinel = self.has_sentinel  # not capture self (it drags
+        n_shards = self.meta["n_shards"]  # the SparkSession into pickle)
+        # positions are decoded ONLY for terms that appear in a phrase
+        # query; offsets ONLY for snippet queries' terms — one long
+        # phrase in a big log must not make every hot term's positional
+        # stream decode
+        pos_terms = {t for _, terms_l, ph in qlist if ph for t in terms_l}
+        off_terms = {
+            t for qid, terms_l, _ in qlist if qid in offs_qids for t in terms_l
+        }
+        need_pos, need_off = bool(pos_terms), bool(off_terms)
+
+        seg_cols = [
+            "shard_id", "term", "df_shard", "docids_blob", "tfs_blob",
+            "skip_predocs", "skip_docid_offs", "skip_tf_offs",
+        ]
+        if need_pos:
+            seg_cols += ["pos_blob", "skip_pos_offs"]
+        if need_off:
+            seg_cols += ["off_blob", "skip_off_offs"]
+        wanted = set(all_terms) | ({""} if has_sentinel else set())
+        if has_sentinel:
+            # phrase bloom rows (pruning-only): end blooms for all but
+            # the last term, begin blooms for all but the first (the
+            # sided 2-term choice needs either available)
+            for _, terms_l, ph in qlist:
+                if ph:
+                    wanted.update(BLOOM_PREFIX + t for t in terms_l[:-1])
+                    wanted.update(BLOOM_BEGIN_PREFIX + t for t in terms_l[1:])
+        seg = self.segments.filter(
+            F.col("term").isin(sorted(wanted))
+        ).select(*seg_cols)
+        doclens = (
+            None
+            if has_sentinel
+            else self.docstats.withColumn(
+                "shard_id", (F.col("doc_id") % n_shards).cast("int")
+            ).select("shard_id", "doc_id", "doclen_char")
+        )
+
+        def shard_kernel(
+            seg_pdf: pd.DataFrame, len_pdf: pd.DataFrame | None
+        ) -> pd.DataFrame:
+            rows_by_term, bloom_rows, sentinel_rows = _parse_shard_rows(seg_pdf)
+            present = set(all_terms) & set(rows_by_term)
+            # decode each referenced term once, at the richest level any
+            # query needs it (positions for phrase terms, offsets for
+            # snippet terms)
+            decoded = {}
+            for t in present:
+                decoded[t] = _decode_terms(
+                    rows_by_term, {t}, t in pos_terms, t in off_terms
+                )[t]
+            out_q: list[int] = []
+            out_d: list[np.ndarray] = []
+            out_s: list[np.ndarray] = []
+            out_o: list[list] = []
+            for qid, terms_l, ph in qlist:
+                if any(t not in decoded for t in terms_l):
+                    continue  # empty in THIS shard
+                cand = _conjunct(decoded, terms_l)
+                if cand.size == 0:
+                    continue
+                phrase_surv = None
+                cand_pre = cand
+                if ph:
+                    cand = _bloom_prune(
+                        cand, decoded, terms_l, bloom_rows, rows_by_term,
+                        bloom_cfg,
+                    )
+                    if cand.size == 0:
+                        continue
+                    cand, phrase_surv, cand_pre = _phrase_intersect(
+                        decoded, terms_l, cand
+                    )
+                    if cand.size == 0:
+                        continue
+                codes = _doclen_codes(sentinel_rows, len_pdf, cand)
+                scores = _bm25_scores(
+                    decoded, terms_l, cand, codes, idfs, cache, k1
+                )
+                order = np.lexsort((cand, -scores))[:k]
+                winners = cand[order]
+                out_q.extend([qid] * len(order))
+                out_d.append(winners)
+                out_s.append(scores[order])
+                if need_off:
+                    out_o.extend(
+                        _winner_offsets(
+                            decoded, terms_l, winners, phrase_surv, cand_pre
+                        )
+                        if qid in offs_qids
+                        else [None] * len(order)
+                    )
+            if not out_q:
+                cols = {
+                    "query_id": pd.Series(dtype="int32"),
+                    "doc_id": pd.Series(dtype="int64"),
+                    "score": pd.Series(dtype="float64"),
+                }
+                if need_off:
+                    cols["offs"] = pd.Series(dtype="object")
+                return pd.DataFrame(cols)
+            out = {
+                "query_id": np.asarray(out_q, dtype=np.int32),
+                "doc_id": np.concatenate(out_d),
+                "score": np.concatenate(out_s),
+            }
+            if need_off:
+                out["offs"] = out_o
+            return pd.DataFrame(out)
+
+        shard_schema = "query_id int, doc_id long, score double"
+        if need_off:
+            shard_schema += ", offs array<array<long>>"
+        if has_sentinel:
+            return seg.groupBy("shard_id").applyInPandas(
+                lambda sp: shard_kernel(sp, None), shard_schema
+            )
+        return seg.groupBy("shard_id").cogroup(
+            doclens.groupBy("shard_id")
+        ).applyInPandas(
+            lambda sp, lp: shard_kernel(sp, lp), shard_schema
+        )
+
     def search(
         self,
         terms: list[str],
@@ -730,13 +930,14 @@ class SegmentIndex:
         n_passages: int = 3,
         content_col: str = "content",
     ) -> DataFrame:
-        """Top-k (rank, doc_id, score) — decode + intersect + score runs
-        per shard in an Arrow-batched pandas UDF; a k-row result per shard
-        is merged by a tiny global top-k (TakeOrderedAndProject).
+        """Top-k (rank, doc_id, score) — a single-query run of the SAME
+        shard kernel ``search_batch`` uses (one code path, one shard
+        pass); the <= k rows per shard merge through a tiny global
+        top-k (TakeOrderedAndProject).
 
         With ``return_snippets=True`` (requires ``docs`` = the content
-        table) the result gains a ``snippet`` column: the shard UDF also
-        emits each top doc's MATCHED offset pairs per term — all
+        table) the result gains a ``snippet`` column: the shard kernel
+        also emits each top doc's MATCHED offset pairs per term — all
         occurrences for term queries, position-filtered for phrases
         (reference ``query_processing.h:446-492``) — and the k result
         docs' content (broadcast join) is passage-scored with the
@@ -748,146 +949,12 @@ class SegmentIndex:
                 raise ValueError("return_snippets requires the docs table")
             out_schema += ", snippet string"
         empty = spark.createDataFrame([], out_schema)
-        if not terms:
+        per_shard = self._per_shard_topk(
+            [(0, terms, is_phrase)], k,
+            offs_qids=frozenset([0]) if return_snippets else frozenset(),
+        )
+        if per_shard is None:
             return empty
-        # global df per query term (broadcast-sized: len(terms) rows)
-        df_rows = (
-            self.dictionary.filter(F.col("term").isin(list(set(terms)))).collect()
-        )
-        df_map = {r["term"]: r["df"] for r in df_rows}
-        if any(t not in df_map for t in terms):
-            return empty  # AND semantics (reference qq_mem_engine.h:345-347)
-
-        n_docs, avgdl = self.stats.n_docs, self.stats.avgdl
-        params = self.params
-        idfs = {
-            t: float(np.log(1.0 + (n_docs - df_map[t] + 0.5) / (df_map[t] + 0.5)))
-            for t in set(terms)
-        }
-        cache = tfnorm_cache(avgdl, params)
-        terms_l = list(terms)
-        need_pos = is_phrase and len(terms_l) > 1
-        k1 = params.k1
-        bloom_cfg = self.bloom_cfg  # plain local: the UDF closure must
-        # not capture self (it drags the SparkSession into the pickle)
-
-        # doc-length lookup: v2 reads the in-shard sentinel row; v1
-        # cogroups a docstats slice per shard
-        n_shards = self.meta["n_shards"]
-        has_sentinel = self.has_sentinel
-        seg_cols = [
-            "shard_id", "term", "df_shard", "docids_blob", "tfs_blob",
-            "skip_predocs", "skip_docid_offs", "skip_tf_offs",
-        ]
-        need_off = bool(return_snippets)
-        if need_pos:  # positions read ONLY for phrase queries (the
-            # sentinel's lossy bytes live in tfs_blob, always read)
-            seg_cols += ["pos_blob", "skip_pos_offs"]
-        if need_off:  # offsets read ONLY when snippets are requested
-            seg_cols += ["off_blob", "skip_off_offs"]
-        wanted = terms_l + ([""] if has_sentinel else [])
-        if need_pos and has_sentinel:
-            # phrase bloom rows (pruning-only): end blooms for all but
-            # the last term, begin blooms for all but the first (the
-            # sided 2-term choice needs either available)
-            wanted += [BLOOM_PREFIX + t for t in terms_l[:-1]]
-            wanted += [BLOOM_BEGIN_PREFIX + t for t in terms_l[1:]]
-        seg = self.segments.filter(F.col("term").isin(wanted)).select(*seg_cols)
-        doclens = (
-            None
-            if has_sentinel
-            else self.docstats.withColumn(
-                "shard_id", (F.col("doc_id") % n_shards).cast("int")
-            ).select("shard_id", "doc_id", "doclen_char")
-        )
-
-        def score_shard(seg_pdf: pd.DataFrame, len_pdf: pd.DataFrame | None) -> pd.DataFrame:
-            out_cols = {"doc_id": pd.Series(dtype="int64"),
-                        "score": pd.Series(dtype="float64")}
-            if need_off:
-                out_cols["offs"] = pd.Series(dtype="object")
-            out_empty = pd.DataFrame(out_cols)
-            # a term may have several segment rows in a shard (streaming
-            # delta generations / size-capped splits); doc ranges are
-            # disjoint, so decode each and concatenate in docID order
-            rows_by_term, bloom_rows, sentinel_rows = _parse_shard_rows(seg_pdf)
-            if any(t not in rows_by_term for t in terms_l):
-                return out_empty
-            decoded = _decode_terms(rows_by_term, set(terms_l), need_pos, need_off)
-            cand = _conjunct(decoded, terms_l)
-            if cand.size == 0:
-                return out_empty
-            if need_pos:
-                cand = _bloom_prune(cand, decoded, terms_l, bloom_rows,
-                                    rows_by_term, bloom_cfg)
-                if cand.size == 0:
-                    return out_empty
-            phrase_surv = None
-            cand_pre = cand
-            if need_pos:
-                cand, phrase_surv, cand_pre = _phrase_intersect(
-                    decoded, terms_l, cand
-                )
-                if cand.size == 0:
-                    return out_empty
-            # vectorized BM25 over the shard's candidates
-            codes = _doclen_codes(sentinel_rows, len_pdf, cand)
-            scores = _bm25_scores(decoded, terms_l, cand, codes, idfs, cache, k1)
-            order = np.lexsort((cand, -scores))[:k]
-            out = {"doc_id": cand[order], "score": scores[order]}
-            if need_off:
-                # matched offsets for the <= k shard-local winners only
-                # (per-doc Python over k docs — never over candidates):
-                # ExpandOffsets for term queries; FilterOffsetByPosition
-                # for phrases (query_processing.h:446-492)
-                n_terms = len(terms_l)
-                offs_col = []
-                for doc in out["doc_id"]:
-                    per_term = []
-                    for i, t in enumerate(terms_l):
-                        ids, tfs, plists, olists = decoded[t]
-                        at = int(np.searchsorted(ids, doc))
-                        o = np.asarray(olists[at], dtype=np.int64)
-                        if o.size == 0:
-                            # index without stored offsets (v1 streaming
-                            # builds): emit no spans so the snippet layer
-                            # falls back to re-tokenization — also for
-                            # phrase queries, which would otherwise index
-                            # into the empty span array
-                            per_term.append([])
-                            continue
-                        if phrase_surv is not None and n_terms > 1:
-                            ci = int(np.searchsorted(cand_pre, doc))
-                            mine = phrase_surv[
-                                (phrase_surv >> np.int64(32)) == ci
-                            ]
-                            pos_i = np.unique(
-                                (mine & np.int64(0xFFFFFFFF)) + i - n_terms
-                            )
-                            j = np.searchsorted(plists[at], pos_i)
-                            pairs = np.stack(
-                                [o[2 * j], o[2 * j + 1]], axis=1
-                            ).ravel()
-                            per_term.append(pairs.tolist())
-                        else:
-                            per_term.append(o.tolist())
-                    offs_col.append(per_term)
-                out["offs"] = offs_col
-            return pd.DataFrame(out)
-
-        shard_schema = "doc_id long, score double"
-        if need_off:
-            shard_schema += ", offs array<array<long>>"
-        if has_sentinel:
-            per_shard = seg.groupBy("shard_id").applyInPandas(
-                lambda sp: score_shard(sp, None), shard_schema
-            )
-        else:
-            per_shard = seg.groupBy("shard_id").cogroup(
-                doclens.groupBy("shard_id")
-            ).applyInPandas(
-                lambda sp, lp: score_shard(sp, lp), shard_schema
-            )
         top = per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         from pyspark.sql import Window
 
@@ -898,6 +965,7 @@ class SegmentIndex:
 
         from wiser_spark.operators.highlight import snippet_from_stored_offsets
 
+        terms_l = list(terms)
         hits = docs.select("doc_id", F.col(content_col).alias("content")).join(
             F.broadcast(ranked), "doc_id"
         )
@@ -927,133 +995,17 @@ class SegmentIndex:
         (query_id, rank, doc_id, score).
 
         The QPS path: one scan + one Arrow stage answers every query —
-        each shard decodes every referenced term ONCE (shared across
-        queries that reuse a term), runs the same per-query kernel
-        search() uses, and emits <= k rows per (query, shard). The
-        global merge is a window over <= k * n_shards rows per query.
-        The reference serves a log through its processor dispatch loop
-        (``query_processing.h:956-979``) one query at a time; batching
-        is the Spark-native fan-in that amortizes scan and job cost."""
-        spark = self.spark
+        the shared shard kernel (``_per_shard_topk``) decodes each
+        referenced term once across all queries and emits <= k rows per
+        (query, shard). The global merge is a window over <= k *
+        n_shards rows per query. The reference serves a log through its
+        processor dispatch loop (``query_processing.h:956-979``) one
+        query at a time; batching is the Spark-native fan-in that
+        amortizes scan and job cost."""
         out_schema = "query_id int, rank int, doc_id long, score double"
-        empty = spark.createDataFrame([], out_schema)
-        qlist = [
-            (int(qid), [str(t) for t in terms], bool(ph) and len(terms) > 1)
-            for qid, terms, ph in queries
-            if terms
-        ]
-        if not qlist:
-            return empty
-        all_terms = sorted({t for _, terms, _ in qlist for t in terms})
-        df_rows = self.dictionary.filter(F.col("term").isin(all_terms)).collect()
-        df_map = {r["term"]: int(r["df"]) for r in df_rows}
-        # AND semantics: a query with any absent term is empty
-        qlist = [q for q in qlist if all(t in df_map for t in q[1])]
-        if not qlist:
-            return empty
-        n_docs, avgdl = self.stats.n_docs, self.stats.avgdl
-        params = self.params
-        idfs = {
-            t: float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
-            for t, df in df_map.items()
-        }
-        cache = tfnorm_cache(avgdl, params)
-        k1 = params.k1
-        bloom_cfg = self.bloom_cfg
-        # positions are decoded ONLY for terms that appear in a phrase
-        # query — one long phrase in a big log must not make every hot
-        # term's positional stream decode
-        pos_terms = {t for _, terms_l, ph in qlist if ph for t in terms_l}
-        need_pos = bool(pos_terms)
-        has_sentinel = self.has_sentinel
-        n_shards = self.meta["n_shards"]
-
-        seg_cols = [
-            "shard_id", "term", "df_shard", "docids_blob", "tfs_blob",
-            "skip_predocs", "skip_docid_offs", "skip_tf_offs",
-        ]
-        if need_pos:
-            seg_cols += ["pos_blob", "skip_pos_offs"]
-        wanted = set(all_terms) | ({""} if has_sentinel else set())
-        if has_sentinel:
-            for _, terms_l, ph in qlist:
-                if ph:
-                    wanted.update(BLOOM_PREFIX + t for t in terms_l[:-1])
-                    wanted.update(BLOOM_BEGIN_PREFIX + t for t in terms_l[1:])
-        seg = self.segments.filter(
-            F.col("term").isin(sorted(wanted))
-        ).select(*seg_cols)
-        doclens = (
-            None
-            if has_sentinel
-            else self.docstats.withColumn(
-                "shard_id", (F.col("doc_id") % n_shards).cast("int")
-            ).select("shard_id", "doc_id", "doclen_char")
-        )
-
-        def batch_shard(
-            seg_pdf: pd.DataFrame, len_pdf: pd.DataFrame | None
-        ) -> pd.DataFrame:
-            rows_by_term, bloom_rows, sentinel_rows = _parse_shard_rows(seg_pdf)
-            present = {t for t in all_terms if t in rows_by_term}
-            decoded = _decode_terms(
-                rows_by_term, present & pos_terms, True, False
-            )
-            decoded.update(
-                _decode_terms(rows_by_term, present - pos_terms, False, False)
-            )
-            out_q: list[int] = []
-            out_d: list[np.ndarray] = []
-            out_s: list[np.ndarray] = []
-            for qid, terms_l, ph in qlist:
-                if any(t not in decoded for t in terms_l):
-                    continue  # empty in THIS shard
-                cand = _conjunct(decoded, terms_l)
-                if cand.size == 0:
-                    continue
-                if ph:
-                    cand = _bloom_prune(
-                        cand, decoded, terms_l, bloom_rows, rows_by_term,
-                        bloom_cfg,
-                    )
-                    if cand.size == 0:
-                        continue
-                    cand, _, _ = _phrase_intersect(decoded, terms_l, cand)
-                    if cand.size == 0:
-                        continue
-                codes = _doclen_codes(sentinel_rows, len_pdf, cand)
-                scores = _bm25_scores(
-                    decoded, terms_l, cand, codes, idfs, cache, k1
-                )
-                order = np.lexsort((cand, -scores))[:k]
-                out_q.extend([qid] * len(order))
-                out_d.append(cand[order])
-                out_s.append(scores[order])
-            if not out_q:
-                return pd.DataFrame(
-                    {"query_id": pd.Series(dtype="int32"),
-                     "doc_id": pd.Series(dtype="int64"),
-                     "score": pd.Series(dtype="float64")}
-                )
-            return pd.DataFrame(
-                {
-                    "query_id": np.asarray(out_q, dtype=np.int32),
-                    "doc_id": np.concatenate(out_d),
-                    "score": np.concatenate(out_s),
-                }
-            )
-
-        shard_schema = "query_id int, doc_id long, score double"
-        if has_sentinel:
-            per_shard = seg.groupBy("shard_id").applyInPandas(
-                lambda sp: batch_shard(sp, None), shard_schema
-            )
-        else:
-            per_shard = seg.groupBy("shard_id").cogroup(
-                doclens.groupBy("shard_id")
-            ).applyInPandas(
-                lambda sp, lp: batch_shard(sp, lp), shard_schema
-            )
+        per_shard = self._per_shard_topk(queries, k)
+        if per_shard is None:
+            return self.spark.createDataFrame([], out_schema)
         from pyspark.sql import Window
 
         # <= k rows per (query, shard) reach this window — bounded input
