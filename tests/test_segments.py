@@ -117,6 +117,116 @@ def test_skip_entries_partial_decode(spark):
     np.testing.assert_array_equal(docids, np.arange(256, 400) * 3)
 
 
+def test_selective_decode_reads_only_needed_bags(spark):
+    """_decode_term_selective must (a) return exactly the full decode's
+    values at every candidate and (b) NEVER touch non-selected bags —
+    proven by corrupting every byte of the bags no candidate maps to
+    and decoding anyway."""
+    from wiser_spark.operators.segments import _decode_term_selective
+
+    rows = [("t", i * 3, 1 + (i % 5)) for i in range(700)]  # 6 bags
+    postings = spark.createDataFrame(rows, "term string, doc_id long, tf int")
+    seg = build_segments(postings, n_shards=1).collect()[0].asDict()
+    full_ids, full_tfs, _ = decode_segment_row(seg)
+    # candidates: a few real docIDs in bags 0 and 4, plus a bag-boundary
+    # docID (== skip_predocs[b], the LAST doc of the previous bag) and
+    # an absent id
+    cand = np.array(
+        [0, 3 * 5, int(seg["skip_predocs"][1]), 3 * 550, 3 * 551, 7],
+        dtype=np.int64,
+    )
+    got_ids, got_tfs, _, _ = _decode_term_selective([seg], cand)
+    at = np.searchsorted(got_ids, cand[np.isin(cand, full_ids)])
+    want_at = np.searchsorted(full_ids, cand[np.isin(cand, full_ids)])
+    np.testing.assert_array_equal(got_ids[at], full_ids[want_at])
+    np.testing.assert_array_equal(got_tfs[at], full_tfs[want_at])
+    # corrupt bags 2 and 3 (no candidate maps there) in BOTH columns:
+    # still decodes, still correct -> those bags were never read
+    blob_d = bytearray(seg["docids_blob"])
+    blob_t = bytearray(seg["tfs_blob"])
+    for b in (2, 3):
+        lo_d, hi_d = seg["skip_docid_offs"][b], seg["skip_docid_offs"][b + 1]
+        lo_t, hi_t = seg["skip_tf_offs"][b], seg["skip_tf_offs"][b + 1]
+        blob_d[lo_d:hi_d] = b"\xff" * (hi_d - lo_d)
+        blob_t[lo_t:hi_t] = b"\xff" * (hi_t - lo_t)
+    poisoned = dict(seg)
+    poisoned["docids_blob"] = bytes(blob_d)
+    poisoned["tfs_blob"] = bytes(blob_t)
+    got2_ids, got2_tfs, _, _ = _decode_term_selective([poisoned], cand)
+    np.testing.assert_array_equal(got2_ids[at], full_ids[want_at])
+    np.testing.assert_array_equal(got2_tfs[at], full_tfs[want_at])
+
+
+def test_partial_decode_strategy_gate():
+    """Driver-side strategy: partial decode only for big (prefetch_pages
+    >= threshold), single-use, docid+tf-only terms; null pages (old
+    dictionaries) decode fully."""
+    from wiser_spark.operators.segments import partial_decode_terms
+
+    qlist = [
+        (0, ["rare", "hot"], False),
+        (1, ["hot2", "shared"], False),
+        (2, ["shared", "ph1"], True),
+        (3, ["snip"], False),
+    ]
+    pages = {"rare": 1, "hot": 9, "hot2": 9, "shared": 9, "ph1": 9,
+             "snip": 9}
+    got = partial_decode_terms(
+        qlist, pages, pos_terms={"shared", "ph1"}, off_terms={"snip"}
+    )
+    # hot/hot2: big + single-use + plain -> partial. rare: too small.
+    # shared: 2 queries. ph1: positions. snip: offsets.
+    assert got == {"hot", "hot2"}
+    assert partial_decode_terms(qlist, {}, set(), set()) == set()  # null pages
+
+
+def test_prefetch_pages_in_dictionary_and_partial_path(
+    spark, tmp_path, monkeypatch
+):
+    """The dictionary carries (bytes_docid_tf, prefetch_pages) —
+    reference .tip prefetch field (flash_engine_dumper.h:44-49) — and a
+    conjunctive query over a long-posting term goes through the partial
+    path (threshold lowered to force the gate) with results identical
+    to the full path."""
+    import wiser_spark.operators.segments as segmod
+    from wiser_spark.config import BM25Params, IndexConfig
+    from wiser_spark.operators.mapside import write_index_mapside
+
+    # 'hot' in every doc (long postings, multiple bags per shard);
+    # 'rare' in 3
+    rows = [
+        (i, "hot filler " + ("rare " if i % 211 == 5 else "") + f"w{i % 7}")
+        for i in range(600)
+    ]  # rare in docs 5, 216, 427
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    d = str(tmp_path / "idx")
+    write_index_mapside(docs, d, IndexConfig(bm25=BM25Params(1.2, 0.75),
+                                             n_shards=2))
+    dic = {r["term"]: r for r in
+           spark.read.parquet(f"{d}/dictionary").collect()}
+    seg_rows = spark.read.parquet(f"{d}/segments").filter(
+        "term = 'hot'"
+    ).collect()
+    want_bytes = sum(len(r["docids_blob"]) + len(r["tfs_blob"])
+                     for r in seg_rows)
+    assert dic["hot"]["bytes_docid_tf"] == want_bytes
+    assert dic["hot"]["prefetch_pages"] == -(-want_bytes // 4096)
+    idx = SegmentIndex(spark, d)
+    full = [tuple(r) for r in idx.search(["rare", "hot"], k=10).collect()]
+    monkeypatch.setattr(segmod, "PARTIAL_DECODE_MIN_PAGES", 1)
+    part = [tuple(r) for r in idx.search(["rare", "hot"], k=10).collect()]
+    assert part == full and len(part) == 3
+    # sanity: the gate actually fires for 'hot' under the lowered bar
+    from wiser_spark.operators.segments import partial_decode_terms
+
+    assert "hot" in partial_decode_terms(
+        [(0, ["rare", "hot"], False)],
+        {"rare": dic["rare"]["prefetch_pages"],
+         "hot": dic["hot"]["prefetch_pages"]},
+        set(), set(),
+    )
+
+
 QUERIES = [
     (["return"], False),
     (["return", "import"], False),

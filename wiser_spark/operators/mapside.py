@@ -445,6 +445,10 @@ def write_index_mapside(
     # explicit schema: a DEGENERATE (empty) corpus writes no part files,
     # which would fail schema inference — the index stays readable
     written = spark.read.schema(SEGMENT_SCHEMA).parquet(f"{index_dir}/segments")
+    # dictionary = (term, df, bytes_docid_tf, prefetch_pages): the
+    # bytes/pages pair is the reference's .tip prefetch-zone field
+    # (flash_engine_dumper.h:44-49) — queries pick full vs skip-based
+    # partial decode with it (segments.partial_decode_terms)
     (
         written.filter(
             (F.col("term") != DOCLEN_TERM)
@@ -452,7 +456,15 @@ def write_index_mapside(
             & ~F.col("term").startswith(BLOOM_BEGIN_PREFIX)
         )
         .groupBy("term")
-        .agg(F.sum("df_shard").cast("int").alias("df"))
+        .agg(
+            F.sum("df_shard").cast("int").alias("df"),
+            F.sum(F.length("docids_blob") + F.length("tfs_blob"))
+            .cast("long").alias("bytes_docid_tf"),
+        )
+        .withColumn(
+            "prefetch_pages",
+            F.ceil(F.col("bytes_docid_tf") / 4096).cast("int"),
+        )
         .write.mode("overwrite")
         .parquet(f"{index_dir}/dictionary")
     )

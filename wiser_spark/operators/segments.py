@@ -296,7 +296,27 @@ def write_index(
     segs.write.mode("overwrite").partitionBy("shard_id").parquet(
         f"{index_dir}/segments"
     )
-    dictionary.write.mode("overwrite").parquet(f"{index_dir}/dictionary")
+    # enrich the dictionary with the prefetch-zone field (B13 analogue,
+    # flash_engine_dumper.h:44-49) from the WRITTEN segment rows — a
+    # cheap metadata-ish scan of two length columns
+    spark = postings.sparkSession
+    sizes = (
+        spark.read.schema(SEGMENT_SCHEMA)
+        .parquet(f"{index_dir}/segments")
+        .groupBy("term")
+        .agg(
+            F.sum(F.length("docids_blob") + F.length("tfs_blob"))
+            .cast("long").alias("bytes_docid_tf")
+        )
+    )
+    (
+        dictionary.join(sizes, "term", "left")
+        .withColumn(
+            "prefetch_pages",
+            F.ceil(F.col("bytes_docid_tf") / 4096).cast("int"),
+        )
+        .write.mode("overwrite").parquet(f"{index_dir}/dictionary")
+    )
     docstats.select("doc_id", "doclen", "doclen_char").write.mode(
         "overwrite"
     ).parquet(f"{index_dir}/docstats")
@@ -362,6 +382,86 @@ def _conjunct(decoded, terms_l):
         if cand.size == 0:
             break
     return cand
+
+
+# B13/Q14: the reference packs a 16-bit prefetch-zone page count into
+# each .tip term entry (flash_engine_dumper.h:44-49) and gates madvise
+# on it (vacuum_engine.h:221-236). The analogue: the dictionary carries
+# (bytes_docid_tf, prefetch_pages) per term, and the shard kernel picks
+# the decode strategy with it — a conjunction's non-smallest terms with
+# at least this many pages decode ONLY the 128-posting bags that can
+# hold a candidate (skip-based partial decode) instead of the whole
+# column.
+PREFETCH_PAGE_BYTES = 4096
+PARTIAL_DECODE_MIN_PAGES = 4  # don't bother under ~16 KiB of docid+tf
+
+
+def partial_decode_terms(
+    qlist, pages_map, pos_terms, off_terms
+) -> set:
+    """Driver-side strategy pick: terms eligible for skip-based partial
+    decode. A term qualifies when (a) its posting column is big enough
+    that skipping frames pays (prefetch_pages >= PARTIAL_DECODE_MIN_
+    PAGES — dictionaries without the field decode fully), (b) no query
+    needs its positions/offsets streams (those decode full), and (c)
+    only ONE query in the batch references it (shared terms decode once
+    fully rather than partially per query)."""
+    uses: dict[str, int] = {}
+    for _, terms_l, _ in qlist:
+        for t in set(terms_l):
+            uses[t] = uses.get(t, 0) + 1
+    return {
+        t
+        for t, n in uses.items()
+        if n == 1
+        and t not in pos_terms
+        and t not in off_terms
+        and (pages_map.get(t) or 0) >= PARTIAL_DECODE_MIN_PAGES
+    }
+
+
+def _decode_term_selective(rows, cand):
+    """Skip-based PARTIAL decode of one term's (possibly multi-
+    generation) rows: decode only the 128-posting bags whose docID
+    range can contain a candidate — the skip entries' pre_doc_id gives
+    each bag's lower bound AND the delta base to rebuild absolute
+    docIDs from the bag's frame alone (reference SkipForward,
+    query_processing.h:810-852, done at decode granularity).
+
+    Returns (ids, tfs, None, None) covering every candidate that
+    exists in the term; non-selected bags are never touched."""
+    parts = []
+    for r in rows:
+        n = int(r["df_shard"])
+        pre = np.asarray(r["skip_predocs"], dtype=np.int64)
+        n_bags = len(pre)
+        if n_bags <= 1:
+            ids, tfs, _ = decode_segment_row(r)
+            parts.append((ids, tfs))
+            continue
+        docid_offs = np.asarray(r["skip_docid_offs"], dtype=np.int64)
+        tf_offs = np.asarray(r["skip_tf_offs"], dtype=np.int64)
+        # bag b holds docIDs strictly greater than pre[b] (pre[b] IS the
+        # last docID of bag b-1), so a candidate EQUAL to pre[b] lives
+        # in bag b-1: side='left' puts it there; candidates below the
+        # first real docID clamp to bag 0 (pre[0] is the 0 sentinel)
+        sel = np.unique(
+            np.maximum(np.searchsorted(pre, cand, side="left") - 1, 0)
+        )
+        buf_d = np.frombuffer(r["docids_blob"], dtype=np.uint8)
+        buf_t = np.frombuffer(r["tfs_blob"], dtype=np.uint8)
+        for b in sel:
+            cnt = PACK_SIZE if b < n_bags - 1 else n - b * PACK_SIZE
+            deltas = decode_column(buf_d, cnt, offset=int(docid_offs[b]))
+            ids_b = np.cumsum(deltas.astype(np.int64)) + pre[b]
+            tfs_b = decode_column(
+                buf_t, cnt, offset=int(tf_offs[b])
+            ).astype(np.int64)
+            parts.append((ids_b, tfs_b))
+    parts.sort(key=lambda p: int(p[0][0]) if len(p[0]) else 0)
+    ids = np.concatenate([p[0] for p in parts])
+    tfs = np.concatenate([p[1] for p in parts])
+    return ids, tfs, None, None
 
 
 def _bloom_prune(cand, decoded, terms_l, bloom_rows, rows_by_term,
@@ -728,10 +828,13 @@ class SegmentIndex:
             f"{index_dir}/segments"
         )
         # dictionary is the hot lookup table of every query (the
-        # reference mmaps my.tip once) — cache it
-        self.dictionary = spark.read.schema("term string, df int").parquet(
-            f"{index_dir}/dictionary"
-        ).cache()
+        # reference mmaps my.tip once) — cache it. bytes/prefetch_pages
+        # are the reference's .tip prefetch-zone field analogue
+        # (flash_engine_dumper.h:44-49); dictionaries written before the
+        # field read as null (-> full decode, the conservative choice)
+        self.dictionary = spark.read.schema(
+            "term string, df int, bytes_docid_tf long, prefetch_pages int"
+        ).parquet(f"{index_dir}/dictionary").cache()
         # v2 (map-side) indexes carry doc lengths as in-shard sentinel
         # rows; v1 keeps a separate docstats table (query-time cogroup)
         self.has_sentinel = bool(self.meta.get("doclen_sentinel"))
@@ -783,6 +886,7 @@ class SegmentIndex:
         all_terms = sorted({t for _, terms, _ in qlist for t in terms})
         df_rows = self.dictionary.filter(F.col("term").isin(all_terms)).collect()
         df_map = {r["term"]: int(r["df"]) for r in df_rows}
+        pages_map = {r["term"]: r["prefetch_pages"] for r in df_rows}
         # AND semantics: a query with any absent term is empty
         qlist = [q for q in qlist if all(t in df_map for t in q[1])]
         if not qlist:
@@ -806,6 +910,12 @@ class SegmentIndex:
             t for qid, terms_l, _ in qlist if qid in offs_qids for t in terms_l
         }
         need_pos, need_off = bool(pos_terms), bool(off_terms)
+        # decode strategy per term, picked DRIVER-SIDE from the
+        # dictionary's prefetch_pages field (B13/Q14 analogue): big,
+        # single-use, docid+tf-only terms decode skip-based partially
+        partial_set = partial_decode_terms(
+            qlist, pages_map, pos_terms, off_terms
+        )
 
         seg_cols = [
             "shard_id", "term", "df_shard", "docids_blob", "tfs_blob",
@@ -839,42 +949,67 @@ class SegmentIndex:
             seg_pdf: pd.DataFrame, len_pdf: pd.DataFrame | None
         ) -> pd.DataFrame:
             rows_by_term, bloom_rows, sentinel_rows = _parse_shard_rows(seg_pdf)
-            present = set(all_terms) & set(rows_by_term)
-            # decode each referenced term once, at the richest level any
-            # query needs it (positions for phrase terms, offsets for
-            # snippet terms)
-            decoded = {}
-            for t in present:
-                decoded[t] = _decode_terms(
-                    rows_by_term, {t}, t in pos_terms, t in off_terms
-                )[t]
+            # LAZY decode, shared across queries: a term decodes at most
+            # once fully (at the richest level any query needs); terms
+            # in partial_set instead decode only the bags that can hold
+            # a candidate, per query (never cached — partials are
+            # candidate-specific)
+            decoded: dict = {}
+
+            def get_full(t):
+                if t not in decoded:
+                    decoded[t] = _decode_terms(
+                        rows_by_term, {t}, t in pos_terms, t in off_terms
+                    )[t]
+                return decoded[t]
+
             out_q: list[int] = []
             out_d: list[np.ndarray] = []
             out_s: list[np.ndarray] = []
             out_o: list[list] = []
             for qid, terms_l, ph in qlist:
-                if any(t not in decoded for t in terms_l):
+                if any(t not in rows_by_term for t in terms_l):
                     continue  # empty in THIS shard
-                cand = _conjunct(decoded, terms_l)
-                if cand.size == 0:
+                # smallest-first by shard df (zig-zag analogue) straight
+                # from the segment rows — no decode needed to order
+                tsorted = sorted(
+                    set(terms_l),
+                    key=lambda t: sum(
+                        int(r["df_shard"]) for r in rows_by_term[t]
+                    ),
+                )
+                qdec: dict = {}
+                cand = None
+                for t in tsorted:
+                    if t in decoded or cand is None or t not in partial_set:
+                        qdec[t] = get_full(t)
+                    else:
+                        qdec[t] = _decode_term_selective(
+                            rows_by_term[t], cand
+                        )
+                    ids = qdec[t][0]
+                    cand = ids if cand is None else cand[np.isin(cand, ids)]
+                    if cand.size == 0:
+                        break
+                if cand is None or cand.size == 0:
                     continue
                 phrase_surv = None
                 cand_pre = cand
                 if ph:
                     cand = _bloom_prune(
-                        cand, decoded, terms_l, bloom_rows, rows_by_term,
+                        cand, qdec, terms_l, bloom_rows, rows_by_term,
                         bloom_cfg,
                     )
                     if cand.size == 0:
                         continue
                     cand, phrase_surv, cand_pre = _phrase_intersect(
-                        decoded, terms_l, cand
+                        qdec, terms_l, cand
                     )
                     if cand.size == 0:
                         continue
                 codes = _doclen_codes(sentinel_rows, len_pdf, cand)
                 scores = _bm25_scores(
-                    decoded, terms_l, cand, codes, idfs, cache, k1
+                    qdec, terms_l, cand, codes, idfs, cache, k1
                 )
                 order = np.lexsort((cand, -scores))[:k]
                 winners = cand[order]
@@ -884,7 +1019,7 @@ class SegmentIndex:
                 if need_off:
                     out_o.extend(
                         _winner_offsets(
-                            decoded, terms_l, winners, phrase_surv, cand_pre
+                            qdec, terms_l, winners, phrase_surv, cand_pre
                         )
                         if qid in offs_qids
                         else [None] * len(order)

@@ -153,7 +153,11 @@ class IncrementalIndexer:
                     & ~F.substring("term", 1, 1).isin("\x01", "\x02")
                 )
                 .groupBy("term")
-                .agg(F.sum("df_shard").cast("int").alias("df"))
+                .agg(
+                    F.sum("df_shard").cast("int").alias("df"),
+                    F.sum(F.length("docids_blob") + F.length("tfs_blob"))
+                    .cast("long").alias("bytes_docid_tf"),
+                )
                 .write.mode("overwrite")
                 .parquet(f"{staging}/dictionary_deltas")
             )
@@ -210,12 +214,23 @@ class IncrementalIndexer:
                 F.avg(F.col("doclen").cast("double")).alias("avgdl"),
             ).collect()[0]
             n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
-        # fold delta dictionaries into the queryable (term, df) table
-        spark.read.parquet(f"{self.index_dir}/dictionary_deltas").groupBy(
-            "term"
-        ).agg(F.sum("df").cast("int").alias("df")).write.mode(
-            "overwrite"
-        ).parquet(f"{self.index_dir}/dictionary")
+        # fold delta dictionaries into the queryable table; v1 deltas
+        # lack bytes_docid_tf (reads null -> null pages -> full decode)
+        (
+            spark.read.schema("term string, df int, bytes_docid_tf long")
+            .parquet(f"{self.index_dir}/dictionary_deltas")
+            .groupBy("term")
+            .agg(
+                F.sum("df").cast("int").alias("df"),
+                F.sum("bytes_docid_tf").cast("long").alias("bytes_docid_tf"),
+            )
+            .withColumn(
+                "prefetch_pages",
+                F.ceil(F.col("bytes_docid_tf") / 4096).cast("int"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{self.index_dir}/dictionary")
+        )
         meta = {
             "n_docs": n_docs,
             "avgdl": avgdl,
