@@ -38,6 +38,10 @@ def test_no_false_negatives_unit():
     blooms = fold_occurrence_blooms(table[np.arange(200)], starts)
     bp = bloom_params()
     mat = vocab_bloom_matrix(vocab, bp)
+    # build-side matrix rows must equal the probe-side single-term
+    # masks byte-for-byte (the no-false-negative contract's foundation)
+    for i in (0, 7, 199):
+        assert np.array_equal(mat[i], token_bloom_mask(vocab[i], bp))
     sized = fold_occurrence_bloom_rows(mat, starts)
     for j, (lo, hi) in enumerate(spans):
         for t in vocab[lo:hi]:

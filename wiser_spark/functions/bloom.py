@@ -87,10 +87,27 @@ def token_bloom_mask(term: str, bp: BloomParams) -> np.ndarray:
 
 
 def vocab_bloom_matrix(uniques, bp: BloomParams) -> np.ndarray:
-    """(V, nbytes) uint8 — one md5 per UNIQUE term."""
-    out = np.zeros((len(uniques), bp.nbytes), dtype=np.uint8)
-    for i, t in enumerate(uniques):
-        out[i] = token_bloom_mask(t, bp)
+    """(V, nbytes) uint8 — one md5 per UNIQUE term; the bit placement
+    is fully vectorized across the vocabulary (the per-term Python is
+    just the md5 + two int.from_bytes, ~1 us), and byte-identical to
+    ``token_bloom_mask`` per row (probe-side contract, pinned by
+    test_bloom)."""
+    v = len(uniques)
+    digests = b"".join(hashlib.md5(t.encode()).digest() for t in uniques)
+    ab = np.frombuffer(digests, dtype="<u8").reshape(v, 2)
+    b = (ab[:, 1] % np.uint64(bp.bits - 1)) + np.uint64(1)
+    i_arr = np.arange(bp.hashes, dtype=np.uint64)
+    idx = (
+        (ab[:, 0][:, None] + i_arr[None, :] * b[:, None])
+        % np.uint64(bp.bits)
+    ).astype(np.int64)
+    out = np.zeros((v, bp.nbytes), dtype=np.uint8)
+    flat = out.reshape(-1)
+    pos = np.arange(v, dtype=np.int64)[:, None] * bp.nbytes + (idx >> 3)
+    np.bitwise_or.at(
+        flat, pos.reshape(-1),
+        (np.uint8(1) << (idx & 7).astype(np.uint8)).reshape(-1),
+    )
     return out
 
 
@@ -138,11 +155,10 @@ def bloom_boxes_encode(mat: np.ndarray) -> tuple[bytes, list[int]]:
 
 def bloom_boxes_encode_batch(
     mat: np.ndarray, lo: np.ndarray, hi: np.ndarray
-) -> tuple[np.ndarray, np.ndarray]:
+) -> list[bytes]:
     """Encode ONE box per [lo[t], hi[t]) row-range of ``mat`` in a
     single vectorized pass (every range must fit one box: hi-lo <=
-    BOX_CAP). Returns (flat uint8 buffer, byte bounds): range t's box
-    blob is ``buf[bounds[t]:bounds[t+1]]`` and is byte-identical to
+    BOX_CAP). Returns one blob per range, byte-identical to
     ``bloom_boxes_encode(mat[lo[t]:hi[t]])``.
 
     This is the vocabulary-batched fast path of the map-side build: a
@@ -151,52 +167,38 @@ def bloom_boxes_encode_batch(
     dominate the encode the same way per-term varint calls did before
     round 2's batching. Here the presence bitmaps of ALL terms pack in
     ONE np.packbits (each term starts byte-aligned in a padded bit
-    array) and the payload rows scatter with ragged-arange indexing."""
+    array), the payload is ONE flat mat[pres] copy, and each term's box
+    is a 4-piece bytes join over slices of those two flat buffers."""
     nbytes = mat.shape[1]
     lo = np.asarray(lo, dtype=np.int64)
     hi = np.asarray(hi, dtype=np.int64)
     df = hi - lo
-    if df.size and int(df.max()) > BOX_CAP:
+    n_terms = df.size
+    if n_terms and int(df.max()) > BOX_CAP:
         raise ValueError("batch encoder handles single-box ranges only")
     pres = mat.any(axis=1)
     pres_cum = np.concatenate(([0], np.cumsum(pres)))
-    k = pres_cum[hi] - pres_cum[lo]
     bm_len = (df + 7) // 8
-    sizes = 2 + bm_len + k * nbytes
-    bounds = np.concatenate(([0], np.cumsum(sizes)))
-    out = np.zeros(int(bounds[-1]), dtype=np.uint8)
-    starts = bounds[:-1]
-    out[starts] = BLOOM_BOX_MAGIC
-    out[starts + 1] = df.astype(np.uint8)  # 1..128 fits a raw byte
     n_rows = int(df.sum())
-    if n_rows:
-        # presence bitmaps: term t's bits live at byte-aligned offset
-        # pad[t] of a flat bit array -> one packbits, then scatter
-        pad = np.concatenate(([0], np.cumsum(bm_len * 8)))
-        term_of = np.repeat(np.arange(df.size), df)
-        within = np.arange(n_rows) - np.repeat(np.cumsum(df) - df, df)
-        flat = np.zeros(int(pad[-1]), dtype=np.uint8)
-        flat[pad[term_of] + within] = pres[np.repeat(lo, df) + within]
-        bm = np.packbits(flat)
-        nb_total = int(bm_len.sum())
-        t_of_b = np.repeat(np.arange(df.size), bm_len)
-        wb = np.arange(nb_total) - np.repeat(
-            np.cumsum(bm_len) - bm_len, bm_len
-        )
-        out[starts[t_of_b] + 2 + wb] = bm[(pad[t_of_b] >> 3) + wb]
-        # payload: PRESENT rows only, fixed nbytes each; range t's rows
-        # are the pres-masked rows pres_cum[lo[t]] .. pres_cum[hi[t]]
-        kb = k * nbytes
-        total_pay = int(kb.sum())
-        if total_pay:
-            src = mat[pres].reshape(-1)
-            pay_start = starts + 2 + bm_len
-            t_of_p = np.repeat(np.arange(df.size), kb)
-            wp = np.arange(total_pay) - np.repeat(np.cumsum(kb) - kb, kb)
-            out[pay_start[t_of_p] + wp] = src[
-                pres_cum[lo][t_of_p] * nbytes + wp
-            ]
-    return out, bounds
+    if not n_rows:
+        return [bytes([BLOOM_BOX_MAGIC, 0])] * n_terms
+    # presence bitmaps: term t's bits live at byte-aligned offset
+    # pad[t] of a flat bit array -> one packbits for every term
+    pad = np.concatenate(([0], np.cumsum(bm_len * 8)))
+    term_of = np.repeat(np.arange(n_terms), df)
+    within = np.arange(n_rows) - np.repeat(np.cumsum(df) - df, df)
+    flat = np.zeros(int(pad[-1]), dtype=np.uint8)
+    flat[pad[term_of] + within] = pres[np.repeat(lo, df) + within]
+    bm = np.packbits(flat).tobytes()
+    pay = mat[pres].tobytes()  # present rows, fixed nbytes each
+    heads = [bytes([BLOOM_BOX_MAGIC, c]) for c in df.tolist()]
+    bm_lo = (pad >> 3).tolist()
+    p_lo = (pres_cum[lo] * nbytes).tolist()
+    p_hi = (pres_cum[hi] * nbytes).tolist()
+    return [
+        heads[t] + bm[bm_lo[t]:bm_lo[t + 1]] + pay[p_lo[t]:p_hi[t]]
+        for t in range(n_terms)
+    ]
 
 
 def bloom_boxes_decode(

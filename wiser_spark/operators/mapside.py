@@ -245,20 +245,24 @@ def encode_doc_batches(
 
         bp = bloom_params()
         vocab_masks = vocab_bloom_matrix(uniques, bp)
+        # row V is an all-zero mask: occurrences with no neighbor
+        # (nxt/prv == -1) gather it — one fancy index, no multiply pass
+        vm_ext = np.vstack(
+            [vocab_masks, np.zeros((1, bp.nbytes), dtype=np.uint8)]
+        )
+        zero_row = len(uniques)
         p_starts_idx = np.flatnonzero(new_posting)
         nxt_sorted = nxt[order]
-        occ_masks = vocab_masks[np.maximum(nxt_sorted, 0)] * (
-            (nxt_sorted >= 0)[:, None]
+        posting_blooms = fold_occurrence_bloom_rows(
+            vm_ext[np.where(nxt_sorted >= 0, nxt_sorted, zero_row)],
+            p_starts_idx,
         )
-        posting_blooms = fold_occurrence_bloom_rows(occ_masks, p_starts_idx)
         # begin blooms: same fold over the PRECEDING-token masks
         # (reference builds both sides, bloom_filter.h:595-646)
         prv_sorted = prv[order]
-        occ_masks_b = vocab_masks[np.maximum(prv_sorted, 0)] * (
-            (prv_sorted >= 0)[:, None]
-        )
         posting_blooms_begin = fold_occurrence_bloom_rows(
-            occ_masks_b, p_starts_idx
+            vm_ext[np.where(prv_sorted >= 0, prv_sorted, zero_row)],
+            p_starts_idx,
         )
     # ---- term encode, VOCABULARY-BATCHED. A real code corpus has
     # millions of distinct terms per shard and almost all of them have
@@ -266,9 +270,11 @@ def encode_doc_batches(
     # those one Python call at a time was ~200 us/term — the dominant
     # cost at realistic vocabularies — so every tail column is encoded
     # in ONE flat varint pass over all terms (delta resets at run
-    # starts) and sliced per term by byte offsets. Only the few
-    # df >= PACK_SIZE terms (stopword-like) take the framed per-term
-    # path. Output rows are BYTE-IDENTICAL to _encode_term_flat /
+    # starts) and sliced per term by byte offsets; bloom boxes likewise
+    # come pre-serialized from ONE batch pass (bloom_boxes_encode_batch).
+    # Only the few df >= PACK_SIZE terms (stopword-like) take the
+    # framed/multi-box per-term path. Output rows are BYTE-IDENTICAL to
+    # _encode_term_flat /
     # bloom_row and keep the same in-shard order (term, end-bloom,
     # begin-bloom ascending by term; sentinel last) — pinned by
     # test_mapside byte-identity.
@@ -303,10 +309,8 @@ def encode_doc_batches(
         from wiser_spark.functions.bloom import bloom_boxes_encode_batch
 
         one_box = np.minimum(term_hi, term_lo + PACK_SIZE)
-        be_buf, be_bounds = bloom_boxes_encode_batch(
-            posting_blooms, term_lo, one_box
-        )
-        bb_buf, bb_bounds = bloom_boxes_encode_batch(
+        be_boxes = bloom_boxes_encode_batch(posting_blooms, term_lo, one_box)
+        bb_boxes = bloom_boxes_encode_batch(
             posting_blooms_begin, term_lo, one_box
         )
 
@@ -323,14 +327,31 @@ def encode_doc_batches(
     tl, th = term_lo.tolist(), term_hi.tolist()
     ol, oh = occ_lo.tolist(), occ_hi.tolist()
     db, tb, pb, ob = docid_b.tolist(), tf_b.tolist(), pos_b.tolist(), off_b.tolist()
-    if with_blooms:
-        beb, bbb = be_bounds.tolist(), bb_bounds.tolist()
-        be_bytes, bb_bytes = be_buf.tobytes(), bb_buf.tobytes()
     code_l = posting_code[term_lo].tolist()
+    names = [uniques[c] for c in code_l]
     ZERO, EMPTY = [0], []
+    if with_blooms:
+        # bloom rows assembled WHOLESALE: all their columns except the
+        # box blob (a flat-buffer slice per term) are constants, so the
+        # per-term loop below touches only the base row — keeping the
+        # loop's work equal to the no-bloom build
+        for j, (pref, boxes) in enumerate(
+            ((BLOOM_PREFIX, be_boxes), (BLOOM_BEGIN_PREFIX, bb_boxes)),
+            start=1,
+        ):
+            rows = slice(j, n_rows, R)
+            col["term"][rows] = [pref + t for t in names]
+            df_col[rows] = term_hi - term_lo
+            col["tfs_blob"][rows] = boxes
+            col["skip_tf_offs"][rows].fill(ZERO)
+            for k in ("docids_blob", "pos_blob", "off_blob"):
+                col[k][rows].fill(b"")
+            for k in ("skip_predocs", "skip_docid_offs",
+                      "skip_pos_offs", "skip_off_offs"):
+                col[k][rows].fill(EMPTY)
     for t in range(n_terms):
         lo, hi = tl[t], th[t]
-        term = uniques[code_l[t]]
+        term = names[t]
         base = t * R
         df = hi - lo
         df_col[base] = df
@@ -357,30 +378,14 @@ def encode_doc_batches(
                       "skip_predocs", "skip_docid_offs", "skip_tf_offs",
                       "skip_pos_offs", "skip_off_offs"):
                 col[k][base] = r[k]
-        if with_blooms:
-            for j, (pref, flat_bytes, bounds) in enumerate(
-                ((BLOOM_PREFIX, be_bytes, beb),
-                 (BLOOM_BEGIN_PREFIX, bb_bytes, bbb)), start=1
-            ):
-                row = base + j
-                col["term"][row] = pref + term
-                df_col[row] = df
-                if df <= PACK_SIZE:  # single bloom box: flat-buffer slice
-                    col["tfs_blob"][row] = flat_bytes[bounds[t]:bounds[t + 1]]
-                    col["skip_tf_offs"][row] = ZERO
-                else:
-                    blooms = (
-                        posting_blooms if j == 1 else posting_blooms_begin
-                    )
+            if with_blooms and df > PACK_SIZE:
+                # multi-box term: overwrite the wholesale single-box row
+                for j, blooms in ((1, posting_blooms),
+                                  (2, posting_blooms_begin)):
+                    pref = BLOOM_PREFIX if j == 1 else BLOOM_BEGIN_PREFIX
                     br = bloom_row(shard_id, term, blooms[lo:hi], prefix=pref)
-                    col["tfs_blob"][row] = br["tfs_blob"]
-                    col["skip_tf_offs"][row] = br["skip_tf_offs"]
-                col["docids_blob"][row] = b""
-                col["pos_blob"][row] = b""
-                col["off_blob"][row] = b""
-                for k in ("skip_predocs", "skip_docid_offs",
-                          "skip_pos_offs", "skip_off_offs"):
-                    col[k][row] = EMPTY
+                    col["tfs_blob"][base + j] = br["tfs_blob"]
+                    col["skip_tf_offs"][base + j] = br["skip_tf_offs"]
     main = pd.DataFrame(
         {"shard_id": np.full(n_rows, shard_id, dtype=np.int64),
          "df_shard": df_col, **col}

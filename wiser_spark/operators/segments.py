@@ -71,11 +71,12 @@ SEGMENT_SCHEMA = (
 DOCLEN_TERM = ""
 
 # prefixes marking phrase-bloom rows for a term ("\x01"/"\x02" are
-# outside the tokenizer alphabet). A row's tfs_blob packs one 64-bit
-# bloom per posting, aligned with the term row's docID order: END blooms
-# hold the tokens FOLLOWING each occurrence, BEGIN blooms the tokens
-# PRECEDING them (the reference builds both, bloom_filter.h:595-646, and
-# stores them as separate regions of the same file, flash_containers.h:499)
+# outside the tokenizer alphabet). A row's tfs_blob holds BLOOM BOXES of
+# sized filters (libbloom sizing, functions/bloom.py), one filter per
+# posting, aligned with the term row's docID order: END blooms hold the
+# tokens FOLLOWING each occurrence, BEGIN blooms the tokens PRECEDING
+# them (the reference builds both, bloom_filter.h:595-646, and stores
+# them as separate regions of the same file, flash_containers.h:499)
 BLOOM_PREFIX = "\x01"        # end blooms
 BLOOM_BEGIN_PREFIX = "\x02"  # begin blooms
 BLOOM_PREFIXES = (BLOOM_PREFIX, BLOOM_BEGIN_PREFIX)
@@ -296,21 +297,23 @@ def write_index(
     segs.write.mode("overwrite").partitionBy("shard_id").parquet(
         f"{index_dir}/segments"
     )
-    # enrich the dictionary with the prefetch-zone field (B13 analogue,
-    # flash_engine_dumper.h:44-49) from the WRITTEN segment rows — a
-    # cheap metadata-ish scan of two length columns
+    # dictionary (term, df, bytes_docid_tf, prefetch_pages) in ONE scan
+    # of the written segment rows (3 pruned columns): df = sum of
+    # df_shard (each doc lives in exactly one shard), bytes/pages = the
+    # prefetch-zone field analogue (B13, flash_engine_dumper.h:44-49).
+    # The caller-passed dictionary is not re-written — its (term, df)
+    # is identical by construction (pinned by the dictionary tests)
+    # and deriving here avoids a second aggregate over the postings.
     spark = postings.sparkSession
-    sizes = (
+    (
         spark.read.schema(SEGMENT_SCHEMA)
         .parquet(f"{index_dir}/segments")
         .groupBy("term")
         .agg(
+            F.sum("df_shard").cast("int").alias("df"),
             F.sum(F.length("docids_blob") + F.length("tfs_blob"))
-            .cast("long").alias("bytes_docid_tf")
+            .cast("long").alias("bytes_docid_tf"),
         )
-    )
-    (
-        dictionary.join(sizes, "term", "left")
         .withColumn(
             "prefetch_pages",
             F.ceil(F.col("bytes_docid_tf") / 4096).cast("int"),
