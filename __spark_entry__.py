@@ -147,6 +147,36 @@ def _q_topk_from_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------- curation operators
+_DOCSTORE_CACHE: dict[str, str] = {}
+
+
+def _q_doc_store_roundtrip(spark, sf_dir):
+    """S7 proper: chunked compressed doc store (.fdx/.fdt rendition —
+    per-doc compression, encoded offsets with the reference's 4KB
+    alignment rule, extent rows with min/max pruning). The gate is the
+    input-hint invariant: every stored doc reads back with an
+    identical content sha256."""
+    import hashlib
+    import tempfile
+
+    from wiser_spark.operators.docstore import fetch_docs, write_doc_store
+
+    if sf_dir not in _DOCSTORE_CACHE:
+        tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+        d = f"{tempfile.gettempdir()}/wiser_docstore_{tag}"
+        write_doc_store(_documents(spark, sf_dir), d)
+        _DOCSTORE_CACHE[sf_dir] = d
+    out = fetch_docs(spark, _DOCSTORE_CACHE[sf_dir])
+    return out.select(
+        "doc_id", F.sha2("content", 256).alias("content_sha256")
+    )
+
+
+DOC_STORE_SQL = """
+SELECT doc_id, sha256(text) AS content_sha256 FROM documents
+"""
+
+
 def _q_dedup_exact(spark, sf_dir):
     from wiser_spark.operators.dedup import exact_dedup
 
@@ -541,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": _q_doc_stats,
         "corpus_stats": _q_corpus_stats,
         "topk_from_segments": _q_topk_from_segments,
+        "doc_store_roundtrip": _q_doc_store_roundtrip,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -586,6 +617,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_from_segments": osql.bm25_topk_sql(
             ["dup", "key"], k=10, params=PARAMS, is_phrase=False
         ),
+        "doc_store_roundtrip": DOC_STORE_SQL,
         "dedup_exact": csql.exact_dedup_sql(),
         "dedup_ngram_jaccard": csql.ngram_jaccard_sql(k=3, threshold=0.5),
         "dedup_minhash_lsh": csql.minhash_lsh_sql(

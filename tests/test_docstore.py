@@ -1,0 +1,81 @@
+"""Chunked compressed doc store (S7): roundtrip, alignment rule,
+pruned point fetch."""
+
+import random
+
+import pytest
+
+from wiser_spark.operators.docstore import (
+    KB4,
+    fetch_docs,
+    should_align,
+    write_doc_store,
+)
+
+
+def test_should_align_matches_reference_rule():
+    # crossing fewer blocks when aligned -> align (doc_store.h:73-78)
+    assert should_align(KB4 - 10, 100)          # 2 blocks -> 1
+    assert not should_align(0, 100)             # already at a boundary
+    assert not should_align(512, 100)           # fits the current block
+    assert should_align(KB4 - 1, 2 * KB4)       # 3 blocks -> 2
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    rnd = random.Random(13)
+    rows = []
+    for i in range(400):
+        if i == 7:
+            rows.append((i, ""))                       # empty doc
+        elif i == 11:
+            rows.append((i, "ünïcode — document ✓"))   # non-ASCII
+        else:
+            # incompressible-ish hex so compressed sizes stay large
+            # enough that the alignment rule actually fires
+            rows.append(
+                (i, "".join(rnd.choice("0123456789abcdef")
+                            for _ in range(rnd.randrange(200, 9000))))
+            )
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    d = str(tmp_path_factory.mktemp("store") / "ds")
+    write_doc_store(docs.repartition(3, "doc_id"), d,
+                    extent_bytes=64 * 1024)
+    return d, dict(rows)
+
+
+def test_roundtrip_all_docs(spark, store):
+    d, want = store
+    got = {r["doc_id"]: r["content"] for r in fetch_docs(spark, d).collect()}
+    assert got == want  # byte-for-byte (sha256 invariant by implication)
+
+
+def test_extent_layout_and_alignment(spark, store):
+    d, _ = store
+    exts = spark.read.parquet(f"{d}/extents").collect()
+    assert len(exts) > 3  # multiple extents at 64 KiB
+    n_aligned = 0
+    for e in exts:
+        assert e["first_doc"] == e["doc_ids"][0]
+        assert e["last_doc"] == e["doc_ids"][-1]
+        assert list(e["doc_ids"]) == sorted(e["doc_ids"])
+        prev_end = 0
+        for off_enc, size in zip(e["enc_offs"], e["sizes"]):
+            off, aligned = off_enc >> 1, bool(off_enc & 1)
+            if aligned:
+                assert off % KB4 == 0  # padded to the 4KB boundary
+                n_aligned += 1
+            # the reference rule decided the flag
+            assert aligned == should_align(prev_end, size)
+            prev_end = off + size
+        assert prev_end == len(e["blob"])
+    assert n_aligned > 0  # the rule fired somewhere in this corpus
+
+
+def test_point_fetch_prunes_extents(spark, store):
+    d, want = store
+    out = fetch_docs(spark, d, doc_ids=[3, 399])
+    rows = {r["doc_id"]: r["content"] for r in out.collect()}
+    assert rows == {3: want[3], 399: want[399]}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "first_doc" in plan, plan[:2000]
