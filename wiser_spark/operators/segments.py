@@ -852,15 +852,38 @@ class SegmentIndex:
             if self.has_sentinel
             else spark.read.parquet(f"{index_dir}/docstats").cache()
         )
+        self._dict_mem: dict[str, tuple[int, int | None]] | None = None
+        self._dict_mem_tried = False
+
+    # the reference mmaps the WHOLE .tip into the serving process once
+    # (vacuum_engine.h:119-142). The analogue: when the vocabulary is
+    # modest, pull (term -> (df, prefetch_pages)) to the driver ONCE —
+    # every subsequent query's dictionary lookup (and every absent-term
+    # early exit) then costs zero Spark jobs. Past the cap (10^12-file
+    # vocabularies) lookups stay distributed filters on the cached
+    # dictionary DataFrame.
+    DICT_DRIVER_CACHE_MAX = 2_000_000
+
+    def _dict_lookup(self, terms: list[str]) -> dict:
+        """term -> (df, prefetch_pages) for the terms present."""
+        if not self._dict_mem_tried:
+            self._dict_mem_tried = True
+            n = self.dictionary.count()
+            if n <= self.DICT_DRIVER_CACHE_MAX:
+                self._dict_mem = {
+                    r["term"]: (int(r["df"]), r["prefetch_pages"])
+                    for r in self.dictionary.collect()
+                }
+        if self._dict_mem is not None:
+            return {t: self._dict_mem[t] for t in terms if t in self._dict_mem}
+        rows = self.dictionary.filter(F.col("term").isin(list(terms))).collect()
+        return {r["term"]: (int(r["df"]), r["prefetch_pages"]) for r in rows}
 
     def doc_freqs(self, terms: list[str]) -> list[int]:
         """Global df per query term, 0 for absent terms — the reference's
         ``SearchResult.doc_freqs`` contract (``types.h:259-346``)."""
-        rows = (
-            self.dictionary.filter(F.col("term").isin(list(set(terms)))).collect()
-        )
-        m = {r["term"]: int(r["df"]) for r in rows}
-        return [m.get(t, 0) for t in terms]
+        m = self._dict_lookup(list(set(terms)))
+        return [m[t][0] if t in m else 0 for t in terms]
 
     def _per_shard_topk(self, queries, k: int, offs_qids: frozenset = frozenset()):
         """The ONE shard-pass kernel behind both ``search`` and
@@ -887,9 +910,9 @@ class SegmentIndex:
         if not qlist:
             return None
         all_terms = sorted({t for _, terms, _ in qlist for t in terms})
-        df_rows = self.dictionary.filter(F.col("term").isin(all_terms)).collect()
-        df_map = {r["term"]: int(r["df"]) for r in df_rows}
-        pages_map = {r["term"]: r["prefetch_pages"] for r in df_rows}
+        looked = self._dict_lookup(all_terms)
+        df_map = {t: v[0] for t, v in looked.items()}
+        pages_map = {t: v[1] for t, v in looked.items()}
         # AND semantics: a query with any absent term is empty
         qlist = [q for q in qlist if all(t in df_map for t in q[1])]
         if not qlist:
