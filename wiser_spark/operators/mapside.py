@@ -319,7 +319,12 @@ def encode_doc_batches(
     obj_cols = (
         "term", "docids_blob", "tfs_blob", "pos_blob", "off_blob",
         "skip_predocs", "skip_docid_offs", "skip_tf_offs",
-        "skip_pos_offs", "skip_off_offs",
+        "skip_pos_offs", "skip_off_offs", "skip_max_tfs",
+    )
+    # per-term max tf in ONE pass (block-max bound source; single-bag
+    # terms need just the term-wide max, framed terms re-derive per bag)
+    term_max_tf = (
+        np.maximum.reduceat(tfs_all, term_lo).tolist() if n_terms else []
     )
     col = {k: np.empty(n_rows, dtype=object) for k in obj_cols}
     df_col = np.empty(n_rows, dtype=np.int64)
@@ -347,7 +352,7 @@ def encode_doc_batches(
             for k in ("docids_blob", "pos_blob", "off_blob"):
                 col[k][rows].fill(b"")
             for k in ("skip_predocs", "skip_docid_offs",
-                      "skip_pos_offs", "skip_off_offs"):
+                      "skip_pos_offs", "skip_off_offs", "skip_max_tfs"):
                 col[k][rows].fill(EMPTY)
     for t in range(n_terms):
         lo, hi = tl[t], th[t]
@@ -366,6 +371,7 @@ def encode_doc_batches(
             for k in ("skip_predocs", "skip_docid_offs", "skip_tf_offs",
                       "skip_pos_offs", "skip_off_offs"):
                 col[k][base] = ZERO
+            col["skip_max_tfs"][base] = [term_max_tf[t]]
         else:  # framed path (few stopword-scale terms)
             sl = slice(ol[t], oh[t])
             flat = p[sl]
@@ -376,7 +382,7 @@ def encode_doc_batches(
             )
             for k in ("docids_blob", "tfs_blob", "pos_blob", "off_blob",
                       "skip_predocs", "skip_docid_offs", "skip_tf_offs",
-                      "skip_pos_offs", "skip_off_offs"):
+                      "skip_pos_offs", "skip_off_offs", "skip_max_tfs"):
                 col[k][base] = r[k]
             if with_blooms and df > PACK_SIZE:
                 # multi-box term: overwrite the wholesale single-box row
@@ -415,6 +421,7 @@ def _arrow_segment_schema():
             ("skip_tf_offs", pa.list_(pa.int64())),
             ("skip_pos_offs", pa.list_(pa.int64())),
             ("skip_off_offs", pa.list_(pa.int64())),
+            ("skip_max_tfs", pa.list_(pa.int64())),
         ]
     )
 

@@ -63,7 +63,7 @@ SEGMENT_SCHEMA = (
     "docids_blob binary, tfs_blob binary, pos_blob binary, off_blob binary, "
     "skip_predocs array<long>, skip_docid_offs array<long>, "
     "skip_tf_offs array<long>, skip_pos_offs array<long>, "
-    "skip_off_offs array<long>"
+    "skip_off_offs array<long>, skip_max_tfs array<long>"
 )
 
 # sentinel term of a per-shard doc-length row (v2 map-side indexes): the
@@ -106,6 +106,7 @@ def bloom_row(
         "skip_tf_offs": offs,
         "skip_pos_offs": [],
         "skip_off_offs": [],
+        "skip_max_tfs": [],
     }
 
 
@@ -133,6 +134,7 @@ def doclen_sentinel_row(shard_id: int, doc_ids, doclens) -> dict:
         "skip_tf_offs": char_offs.tolist(),
         "skip_pos_offs": [],
         "skip_off_offs": [],
+        "skip_max_tfs": [],
     }
 
 
@@ -215,6 +217,11 @@ def _encode_term_flat(
     n_bags = (n + PACK_SIZE - 1) // PACK_SIZE
     pre = np.zeros(n_bags, dtype=np.int64)
     pre[1:] = doc_ids[PACK_SIZE - 1 :: PACK_SIZE][: n_bags - 1]
+    # per-bag max tf: the block-max bound for score-neutral skipping at
+    # query time (Lucene/BMW-style; the north star's "block-max-WAND-
+    # style scorer" — exact top-k, bags provably below the running
+    # threshold are never decoded)
+    max_tfs = np.maximum.reduceat(tfs, np.arange(0, n, PACK_SIZE))
     return {
         "shard_id": shard_id,
         "term": term,
@@ -228,6 +235,7 @@ def _encode_term_flat(
         "skip_tf_offs": tf_offs.tolist(),
         "skip_pos_offs": skip_pos.tolist(),
         "skip_off_offs": skip_off.tolist(),
+        "skip_max_tfs": max_tfs.astype(np.int64).tolist(),
     }
 
 
@@ -467,6 +475,118 @@ def _decode_term_selective(rows, cand):
     return ids, tfs, None, None
 
 
+def _topk_blockmax_single(rows, k, idf_t, cache, k1, codes_for,
+                          prune_fallback: bool = True):
+    """Score-neutral BLOCK-MAX top-k for a single-term query — the
+    north star's "block-max-WAND-style scorer" done the way SURVEY §2.5
+    mandates: exact results, block maxima used only to SKIP provably
+    non-competitive 128-posting bags (Lucene BlockMaxScorer shape; the
+    reference itself scores every posting, qq_mem_engine.h:345-401).
+
+    The writer stored max(tf) per bag (``skip_max_tfs``). With cmin =
+    min of the 256-entry lossy length cache, bound(bag) = idf *
+    max_tf*(k1+1)/(max_tf + cmin) is a true upper bound on any score in
+    the bag (BM25 tf-norm is increasing in tf and decreasing in the
+    cache term). Bags decode in descending bound order; once k exact
+    scores exist, θ = k-th best, and the first bag with bound < θ ends
+    the scan — every skipped posting satisfies score <= bound < θ
+    STRICTLY, so the winner set, their exact scores, and the (score
+    desc, doc_id asc) tie order all match the full-decode path.
+
+    Returns (winner_ids, winner_scores) or None when the caller should
+    take the full-decode path instead: any generation row predates the
+    skip_max_tfs column, or θ turns out to prune under half the bags
+    (flat tf distributions — e.g. tf=1 everywhere — bound θ below every
+    bag's bound, and a per-bag Python loop over ALL bags loses to one
+    vectorized whole-column decode; ``prune_fallback=False`` disables
+    this escape for tests that pin exactness)."""
+    cmin = float(cache.min())
+    descs = []  # (bound, row_idx, bag_idx, posting_count)
+    ctx = []
+    for ri, r in enumerate(rows):
+        mx = r["skip_max_tfs"] if "skip_max_tfs" in r else None
+        if mx is None or (isinstance(mx, float) and np.isnan(mx)):
+            return None
+        n = int(r["df_shard"])
+        pre = np.asarray(r["skip_predocs"], dtype=np.int64)
+        n_bags = max(len(pre), 1)
+        mxa = np.asarray(mx, dtype=np.float64)
+        if mxa.size != n_bags:
+            return None  # foreign/legacy row shape: stay exact via full path
+        bounds = idf_t * (mxa * (k1 + 1.0)) / (mxa + cmin)
+        ctx.append((r, pre, n, n_bags))
+        for b in range(n_bags):
+            cnt = PACK_SIZE if b < n_bags - 1 else n - b * PACK_SIZE
+            descs.append((float(bounds[b]), ri, b, cnt))
+    descs.sort(key=lambda d: -d[0])
+
+    def decode_bag(ri, b, cnt):
+        r, pre, n, n_bags = ctx[ri]
+        if n_bags <= 1:  # single-bag rows (incl. varint-tail fast path)
+            ids, tfs, _ = decode_segment_row(r)
+            return ids, tfs
+        deltas = decode_column(
+            np.frombuffer(r["docids_blob"], dtype=np.uint8),
+            cnt,
+            offset=int(r["skip_docid_offs"][b]),
+        )
+        ids = np.cumsum(deltas.astype(np.int64)) + pre[b]
+        tfs = decode_column(
+            np.frombuffer(r["tfs_blob"], dtype=np.uint8),
+            cnt,
+            offset=int(r["skip_tf_offs"][b]),
+        ).astype(np.int64)
+        return ids, tfs
+
+    ids_parts: list = []
+    score_parts: list = []
+    n_scored = 0
+    theta = -np.inf
+    topk_buf = np.zeros(0, dtype=np.float64)  # running k best scores
+
+    def score_bag(ri, b, cnt):
+        nonlocal n_scored, theta, topk_buf
+        ids, tfs = decode_bag(ri, b, cnt)
+        tf = tfs.astype(np.float64)
+        scores = idf_t * ((tf * (k1 + 1.0)) / (tf + cache[codes_for(ids)]))
+        ids_parts.append(ids)
+        score_parts.append(scores)
+        n_scored += ids.size
+        # θ = exact k-th best so far, maintained O(bag + k) per bag
+        merged = np.concatenate((topk_buf, scores))
+        if merged.size >= k:
+            cut = np.partition(merged, merged.size - k)[merged.size - k:]
+            topk_buf = cut
+            theta = cut[0]
+        else:
+            topk_buf = merged
+
+    # phase 1: best-bound bags until k exact scores set θ
+    i = 0
+    while i < len(descs) and n_scored < k:
+        _, ri, b, cnt = descs[i]
+        score_bag(ri, b, cnt)
+        i += 1
+    # phase 2: θ tightens as bags decode; the budget caps the worst
+    # case (flat tf distributions where θ never beats the bounds)
+    # before ceding to the vectorized full decode. Break-even sits near
+    # a third of the bags: a lone bag decodes+scores ~3x slower per
+    # posting than the whole-column vectorized pass (measured,
+    # scripts/blockmax_bench.py)
+    budget = max(4, len(descs) // 3) if prune_fallback else len(descs)
+    for bound, ri, b, cnt in descs[i:]:
+        if bound < theta:
+            break  # bounds descend: everything after is < θ too
+        if i >= budget:
+            return None  # θ buys too little here; full decode wins
+        score_bag(ri, b, cnt)
+        i += 1
+    all_ids = np.concatenate(ids_parts)
+    all_sc = np.concatenate(score_parts)
+    order = np.lexsort((all_ids, -all_sc))[:k]
+    return all_ids[order], all_sc[order]
+
+
 def _bloom_prune(cand, decoded, terms_l, bloom_rows, rows_by_term,
                  bloom_cfg=None):
     """Phrase bloom pre-check (ref Q8): prune candidates whose blooms
@@ -595,17 +715,31 @@ def _winner_offsets(decoded, terms_l, winners, phrase_surv, cand_pre):
     return offs_col
 
 
-def _doclen_codes(sentinel_rows, len_pdf, cand):
-    """Lossy doc-length byte per candidate: from the in-shard sentinel
-    rows (v2) or the cogrouped docstats slice (v1)."""
-    if sentinel_rows is not None:
-        parts = [decode_doclen_sentinel(r) for r in sentinel_rows]
-        parts.sort(key=lambda p: int(p[0][0]) if len(p[0]) else 0)
-        sent_ids = np.concatenate([p[0] for p in parts])
-        sent_chars = np.concatenate([p[1] for p in parts])
-        return sent_chars[np.searchsorted(sent_ids, cand)] & 0xFF
-    len_by_doc = len_pdf.set_index("doc_id")["doclen_char"]
-    return len_by_doc.reindex(cand).to_numpy(dtype=np.int64) & 0xFF
+def _doclen_code_fn(sentinel_rows, len_pdf):
+    """Returns codes_for(cand) -> lossy doc-length byte per candidate,
+    from the in-shard sentinel rows (v2) or the cogrouped docstats slice
+    (v1). The sentinel decode / index build happens ONCE per shard, on
+    first use — the block-max path calls this per decoded bag."""
+    state: list = []
+
+    def codes_for(cand):
+        if not state:
+            if sentinel_rows is not None:
+                parts = [decode_doclen_sentinel(r) for r in sentinel_rows]
+                parts.sort(key=lambda p: int(p[0][0]) if len(p[0]) else 0)
+                sent_ids = np.concatenate([p[0] for p in parts])
+                sent_chars = np.concatenate([p[1] for p in parts])
+                state.append(("sent", sent_ids, sent_chars))
+            else:
+                state.append(
+                    ("pdf", len_pdf.set_index("doc_id")["doclen_char"], None)
+                )
+        kind, a, b = state[0]
+        if kind == "sent":
+            return b[np.searchsorted(a, cand)] & 0xFF
+        return a.reindex(cand).to_numpy(dtype=np.int64) & 0xFF
+
+    return codes_for
 
 
 def _bm25_scores(decoded, terms_l, cand, codes, idfs, cache, k1):
@@ -946,6 +1080,7 @@ class SegmentIndex:
         seg_cols = [
             "shard_id", "term", "df_shard", "docids_blob", "tfs_blob",
             "skip_predocs", "skip_docid_offs", "skip_tf_offs",
+            "skip_max_tfs",
         ]
         if need_pos:
             seg_cols += ["pos_blob", "skip_pos_offs"]
@@ -975,6 +1110,7 @@ class SegmentIndex:
             seg_pdf: pd.DataFrame, len_pdf: pd.DataFrame | None
         ) -> pd.DataFrame:
             rows_by_term, bloom_rows, sentinel_rows = _parse_shard_rows(seg_pdf)
+            codes_for = _doclen_code_fn(sentinel_rows, len_pdf)
             # LAZY decode, shared across queries: a term decodes at most
             # once fully (at the richest level any query needs); terms
             # in partial_set instead decode only the bags that can hold
@@ -996,6 +1132,27 @@ class SegmentIndex:
             for qid, terms_l, ph in qlist:
                 if any(t not in rows_by_term for t in terms_l):
                     continue  # empty in THIS shard
+                # single-term block-max fast path: same eligibility as
+                # partial decode (big, single-use, docid+tf-only term);
+                # exact winners/scores, most bags never decoded
+                if (
+                    len(terms_l) == 1
+                    and not ph
+                    and terms_l[0] in partial_set
+                    and terms_l[0] not in decoded
+                ):
+                    t0 = terms_l[0]
+                    bm = _topk_blockmax_single(
+                        rows_by_term[t0], k, idfs[t0], cache, k1, codes_for
+                    )
+                    if bm is not None:
+                        winners, wscores = bm
+                        out_q.extend([qid] * winners.size)
+                        out_d.append(winners)
+                        out_s.append(wscores)
+                        if need_off:
+                            out_o.extend([None] * winners.size)
+                        continue
                 # smallest-first by shard df (zig-zag analogue) straight
                 # from the segment rows — no decode needed to order
                 tsorted = sorted(
@@ -1033,7 +1190,7 @@ class SegmentIndex:
                     )
                     if cand.size == 0:
                         continue
-                codes = _doclen_codes(sentinel_rows, len_pdf, cand)
+                codes = codes_for(cand)
                 scores = _bm25_scores(
                     qdec, terms_l, cand, codes, idfs, cache, k1
                 )
