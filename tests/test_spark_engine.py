@@ -134,3 +134,33 @@ def test_sha256_invariant(spark, built):
     docs = {r["doc_id"]: r["content"] for r in built[0].collect()}
     for d, content in docs.items():
         assert got[d] == hashlib.sha256(content.encode()).hexdigest()
+
+
+def test_read_corpus_table_parquet_fallback(spark, tmp_path):
+    """read_corpus_table: no Iceberg runtime here, so "auto" lands on
+    the parquet path with the exact north-rule schema; lang filter and
+    column pruning reach the scan; missing columns fail loudly."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from wiser_spark.sources.table import CORPUS_COLUMNS, read_corpus_table
+
+    src = str(tmp_path / "files")
+    corpus_df(spark, 80).withColumn(
+        "extra", F.length("content")
+    ).write.partitionBy("lang").parquet(src)
+    df = read_corpus_table(spark, src)
+    assert tuple(df.columns) == CORPUS_COLUMNS  # extra pruned
+    assert df.count() == 80
+    py = read_corpus_table(spark, src, langs=["py"])
+    assert py.count() == py.where("lang = 'py'").count() > 0
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        py.explain("formatted")
+    assert "PartitionFilters" in buf.getvalue()  # lang prunes partitions
+    with pytest.raises(ValueError, match="commit"):
+        bad = str(tmp_path / "bad")
+        corpus_df(spark, 5).drop("commit").write.parquet(bad)
+        read_corpus_table(spark, bad)
