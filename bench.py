@@ -191,6 +191,17 @@ def main() -> None:
     finally:
         shutil.rmtree(d3, ignore_errors=True)
 
+    # kernel-only block-max evidence (no Spark): single-term top-10 over
+    # one shard's posting list, full decode vs block-max, at densities a
+    # stopword-like code token reaches per shard at 10^12-file scale
+    try:
+        from scripts.blockmax_bench import one_scale
+
+        bmx = {f"blockmax_speedup_{n//1000}k": one_scale(n, reps=3)["speedup"]
+               for n in (10_000, 100_000, 1_000_000)}
+    except Exception as ex:  # never let the extra break the headline JSON
+        bmx = {"blockmax_bench_err": str(ex)[:120]}
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "index_build_plus_bm25_query_suite",
@@ -216,6 +227,7 @@ def main() -> None:
         "sf1_query_phrase2_sec": sf1["phrase2"],
         "sf1_warm_p50_sec": sf1["p50"],
         "sf1_warm_p99_sec": sf1["p99"],
+        **bmx,
         "cpus": cpus,
     }
     print(json.dumps(result))

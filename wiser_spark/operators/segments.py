@@ -567,18 +567,26 @@ def _topk_blockmax_single(rows, k, idf_t, cache, k1, codes_for,
         _, ri, b, cnt = descs[i]
         score_bag(ri, b, cnt)
         i += 1
-    # phase 2: θ tightens as bags decode; the budget caps the worst
-    # case (flat tf distributions where θ never beats the bounds)
-    # before ceding to the vectorized full decode. Break-even sits near
-    # a third of the bags: a lone bag decodes+scores ~3x slower per
-    # posting than the whole-column vectorized pass (measured,
-    # scripts/blockmax_bench.py)
+    # phase 2: θ tightens as bags decode. The budget (a third of the
+    # bags — the measured per-bag vs whole-column break-even,
+    # scripts/blockmax_bench.py) caps total per-bag work; the
+    # CHECKPOINT every 16 bags predicts the remaining work from the
+    # current θ (survivors = bounds still >= θ; θ only rises, so the
+    # prediction is an upper bound) and cedes to the vectorized full
+    # decode as soon as the projection exceeds the budget — flat/tied
+    # tf distributions (every bag bound == θ, e.g. a replicated corpus)
+    # bail after <= 17 wasted bag decodes instead of the whole budget.
     budget = max(4, len(descs) // 3) if prune_fallback else len(descs)
+    bounds_sorted = np.array([d[0] for d in descs], dtype=np.float64)
     for bound, ri, b, cnt in descs[i:]:
         if bound < theta:
             break  # bounds descend: everything after is < θ too
         if i >= budget:
             return None  # θ buys too little here; full decode wins
+        if prune_fallback and i % 16 == 0:
+            n_surv = int(np.count_nonzero(bounds_sorted[i:] >= theta))
+            if i + n_surv > budget:
+                return None
         score_bag(ri, b, cnt)
         i += 1
     all_ids = np.concatenate(ids_parts)
