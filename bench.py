@@ -179,7 +179,8 @@ def main() -> None:
                 t0 = time.perf_counter()
                 idx1.search(terms, k=10, is_phrase=is_phrase).collect()
                 dt = time.perf_counter() - t0
-                lat.append(dt)
+                if rep > 0:  # rep 0 pays JIT/cache fill: not "warm"
+                    lat.append(dt)
                 if rep == 1:  # warm representative (rep 0 pays JIT/cache fill)
                     if qname == "bm25_and2":
                         sf1["and2"] = round(dt, 3)

@@ -96,7 +96,8 @@ def main() -> None:
                     t0 = time.perf_counter()
                     idx.search(terms, k=10, is_phrase=is_phrase).collect()
                     dt = time.perf_counter() - t0
-                    latencies.append(dt)
+                    if rep > 0 or args.query_reps == 1:
+                        latencies.append(dt)  # rep 0 = cold, not "warm"
                     if rep == args.query_reps - 1:  # warm number
                         per_query[name] = round(dt, 3)
             latencies.sort()

@@ -79,3 +79,15 @@ def test_point_fetch_prunes_extents(spark, store):
     assert rows == {3: want[3], 399: want[399]}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "first_doc" in plan, plan[:2000]
+
+
+def test_empty_fetch_reads_nothing(spark, store):
+    """fetch_docs with an explicit empty id list returns an empty frame
+    WITHOUT scanning the store (no extent filter could prune it)."""
+    d, _ = store
+    out = fetch_docs(spark, d, doc_ids=[])
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "content"]
+    # the plan must not touch the extents table at all
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "extents" not in plan

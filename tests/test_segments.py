@@ -247,3 +247,32 @@ def test_segment_search_rank_identical_to_oracle(
     assert [r["doc_id"] for r in got] == [d for d, _ in want]
     for r, (_, score) in zip(got, want):
         assert r["score"] == pytest.approx(score, rel=1e-12)
+
+
+def test_compact_index_written_before_skip_max_tfs(spark, tmp_path,
+                                                   index_dir):
+    """An index written before the skip_max_tfs column existed must
+    still compact: missing columns ride as nulls and the merge
+    re-encodes them fresh (so the compacted index even gains the
+    block-max column)."""
+    import shutil
+
+    from wiser_spark.operators.segments import compact_index
+
+    legacy = str(tmp_path / "legacy")
+    shutil.copytree(index_dir, legacy)
+    # rewrite the segments without the round-3 column (the old layout)
+    old = spark.read.parquet(f"{index_dir}/segments").drop("skip_max_tfs")
+    shutil.rmtree(f"{legacy}/segments")
+    old.write.partitionBy("shard_id").parquet(f"{legacy}/segments")
+    out = str(tmp_path / "compacted")
+    compact_index(spark, legacy, out)
+    want = [tuple(r) for r in SegmentIndex(spark, index_dir)
+            .search(["return", "import"], k=10).collect()]
+    got = [tuple(r) for r in SegmentIndex(spark, out)
+           .search(["return", "import"], k=10).collect()]
+    assert got == want and len(got) == 10
+    # the compacted rows carry the re-derived block-max column
+    seg = spark.read.parquet(f"{out}/segments").filter(
+        "term = 'return'").collect()[0]
+    assert seg["skip_max_tfs"] is not None and len(seg["skip_max_tfs"]) > 0

@@ -1,6 +1,8 @@
 """Incremental (streaming) index == batch index on the same ingested
 prefix; generations merge transparently at query time."""
 
+import os
+
 import pytest
 
 from wiser_spark.config import BM25Params, IndexConfig
@@ -218,3 +220,25 @@ def test_stream_query_rank_identical(spark, streamed, oracle, terms, is_phrase):
     assert [r["doc_id"] for r in got] == [d for d, _ in want]
     for r, (_, s) in zip(got, want):
         assert r["score"] == pytest.approx(s, rel=1e-12)
+
+
+def test_resume_with_other_format_refuses(tmp_path):
+    """Resuming an existing index with the OTHER fmt would corrupt it
+    (v1 generations carry no sentinels / no lensum in the commit log);
+    the constructor must refuse loudly."""
+    import json
+
+    from wiser_spark.streaming.incremental import IncrementalIndexer
+
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+    with open(f"{d}/stats.json", "w") as f:
+        json.dump({"format": "wiser-spark-segment-v1"}, f)
+    IncrementalIndexer(d, fmt="v1")  # same format: fine
+    with pytest.raises(ValueError, match="cannot resume"):
+        IncrementalIndexer(d, fmt="v2")
+    with open(f"{d}/stats.json", "w") as f:
+        json.dump({"format": "wiser-spark-segment-v2-mapside"}, f)
+    IncrementalIndexer(d, fmt="v2")
+    with pytest.raises(ValueError, match="cannot resume"):
+        IncrementalIndexer(d, fmt="v1")

@@ -132,7 +132,9 @@ def fetch_docs(
     ext = spark.read.schema(STORE_SCHEMA).parquet(f"{store_dir}/extents")
     wanted = sorted(set(int(d) for d in doc_ids)) if doc_ids is not None else None
     wset = set(wanted) if wanted is not None else None
-    if wanted:
+    if wanted is not None:
+        if not wanted:  # explicit empty request: no scan at all
+            return spark.createDataFrame([], "doc_id long, content string")
         pred = None
         for d in wanted:
             p = (F.col("first_doc") <= d) & (F.col("last_doc") >= d)

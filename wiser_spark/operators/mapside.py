@@ -461,24 +461,10 @@ def write_index_mapside(
     # bytes/pages pair is the reference's .tip prefetch-zone field
     # (flash_engine_dumper.h:44-49) — queries pick full vs skip-based
     # partial decode with it (segments.partial_decode_terms)
-    (
-        written.filter(
-            (F.col("term") != DOCLEN_TERM)
-            & ~F.col("term").startswith(BLOOM_PREFIX)
-            & ~F.col("term").startswith(BLOOM_BEGIN_PREFIX)
-        )
-        .groupBy("term")
-        .agg(
-            F.sum("df_shard").cast("int").alias("df"),
-            F.sum(F.length("docids_blob") + F.length("tfs_blob"))
-            .cast("long").alias("bytes_docid_tf"),
-        )
-        .withColumn(
-            "prefetch_pages",
-            F.ceil(F.col("bytes_docid_tf") / 4096).cast("int"),
-        )
-        .write.mode("overwrite")
-        .parquet(f"{index_dir}/dictionary")
+    from wiser_spark.operators.segments import dictionary_from_segments
+
+    dictionary_from_segments(written).write.mode("overwrite").parquet(
+        f"{index_dir}/dictionary"
     )
     # global N and avgdl from the sentinels (no second scan of the docs)
     sent = written.filter(F.col("term") == DOCLEN_TERM)

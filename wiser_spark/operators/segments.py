@@ -287,6 +287,34 @@ def build_segments(postings: DataFrame, n_shards: int) -> DataFrame:
     )
 
 
+def prefetch_pages_col():
+    """prefetch_pages from a bytes_docid_tf column — the reference's
+    16-bit .tip prefetch-zone page count (flash_engine_dumper.h:44-49)."""
+    return F.ceil(F.col("bytes_docid_tf") / PREFETCH_PAGE_BYTES).cast("int")
+
+
+def dictionary_from_segments(segs: DataFrame) -> DataFrame:
+    """(term, df, bytes_docid_tf, prefetch_pages) from written segment
+    rows in ONE scan of three pruned columns — the .tip analogue (B13).
+    df = sum(df_shard) because each doc lives in exactly one shard.
+    Sentinel and bloom rows are excluded (no-ops on v1 segments, which
+    carry neither). The single definition behind every writer: batch v1,
+    map-side v2, and the streaming sink's per-generation deltas."""
+    return (
+        segs.filter(
+            (F.col("term") != DOCLEN_TERM)
+            & ~F.substring("term", 1, 1).isin(*BLOOM_PREFIXES)
+        )
+        .groupBy("term")
+        .agg(
+            F.sum("df_shard").cast("int").alias("df"),
+            F.sum(F.length("docids_blob") + F.length("tfs_blob"))
+            .cast("long").alias("bytes_docid_tf"),
+        )
+        .withColumn("prefetch_pages", prefetch_pages_col())
+    )
+
+
 def write_index(
     postings: DataFrame,
     docstats: DataFrame,
@@ -313,21 +341,9 @@ def write_index(
     # is identical by construction (pinned by the dictionary tests)
     # and deriving here avoids a second aggregate over the postings.
     spark = postings.sparkSession
-    (
-        spark.read.schema(SEGMENT_SCHEMA)
-        .parquet(f"{index_dir}/segments")
-        .groupBy("term")
-        .agg(
-            F.sum("df_shard").cast("int").alias("df"),
-            F.sum(F.length("docids_blob") + F.length("tfs_blob"))
-            .cast("long").alias("bytes_docid_tf"),
-        )
-        .withColumn(
-            "prefetch_pages",
-            F.ceil(F.col("bytes_docid_tf") / 4096).cast("int"),
-        )
-        .write.mode("overwrite").parquet(f"{index_dir}/dictionary")
-    )
+    dictionary_from_segments(
+        spark.read.schema(SEGMENT_SCHEMA).parquet(f"{index_dir}/segments")
+    ).write.mode("overwrite").parquet(f"{index_dir}/dictionary")
     docstats.select("doc_id", "doclen", "doclen_char").write.mode(
         "overwrite"
     ).parquet(f"{index_dir}/docstats")
@@ -788,7 +804,16 @@ def compact_segments(
 
     nbytes = bloom_nbytes or bloom_params().nbytes
     cols = [f.split()[0] for f in SEGMENT_SCHEMA.split(", ")]
+    col_types = dict(
+        f.split(" ", 1) for f in SEGMENT_SCHEMA.split(", ")
+    )
     segs = segments
+    # indexes written before a column existed (e.g. pre-skip_max_tfs)
+    # compact fine — missing columns ride as nulls and the merge
+    # re-encodes them fresh
+    for c in cols:
+        if c not in segs.columns:
+            segs = segs.withColumn(c, F.lit(None).cast(col_types[c]))
     if "gen" not in segs.columns:
         if "generation" in segs.columns:
             segs = segs.withColumn("gen", F.col("generation").cast("long"))

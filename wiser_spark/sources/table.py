@@ -41,8 +41,19 @@ def read_corpus_table(
     if fmt in ("iceberg", "auto"):
         try:
             df = spark.read.format("iceberg").load(source)
-        except Exception:
+        except Exception as ex:
             if fmt == "iceberg":
+                raise
+            # auto falls back ONLY when the Iceberg runtime itself is
+            # absent — a real table error (auth, bad snapshot, typo'd
+            # name) must stay loud, not resurface as a parquet-path one
+            msg = str(ex)
+            runtime_absent = (
+                "Failed to find data source" in msg
+                or "ClassNotFoundException" in msg
+                or "DATA_SOURCE_NOT_FOUND" in msg
+            )
+            if not runtime_absent:
                 raise
     if df is None:
         df = spark.read.parquet(source)

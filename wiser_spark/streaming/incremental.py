@@ -43,7 +43,7 @@ from pyspark.sql.types import StructType
 from wiser_spark.config import IndexConfig
 from wiser_spark.operators.docstats import build_docstats
 from wiser_spark.operators.postings import build_postings
-from wiser_spark.operators.segments import build_segments
+from wiser_spark.operators.segments import build_segments, prefetch_pages_col
 
 _TABLES = ("segments", "docstats", "dictionary_deltas")
 
@@ -70,6 +70,19 @@ class IncrementalIndexer:
         single-generation layout a batch map-side build writes."""
         if fmt not in ("v1", "v2"):
             raise ValueError(f"unknown streaming index format: {fmt}")
+        # resuming an existing index with the OTHER format would corrupt
+        # it silently (v1 generations carry no doc-length sentinels and
+        # contribute zero to the v2 avgdl fold) — refuse loudly
+        try:
+            with open(f"{index_dir}/stats.json") as f:
+                existing = json.load(f).get("format", "")
+        except (FileNotFoundError, json.JSONDecodeError):
+            existing = ""
+        if existing and not existing.startswith(f"wiser-spark-segment-{fmt}"):
+            raise ValueError(
+                f"index at {index_dir!r} has format {existing!r}; "
+                f"cannot resume it with fmt={fmt!r}"
+            )
         self.index_dir = index_dir
         self.config = config or IndexConfig()
         self.order_cols = list(order_cols)
@@ -147,20 +160,13 @@ class IncrementalIndexer:
             staged = spark.read.schema(SEGMENT_SCHEMA).parquet(
                 f"{staging}/segments"
             )
-            (
-                staged.filter(
-                    (F.col("term") != "")
-                    & ~F.substring("term", 1, 1).isin("\x01", "\x02")
-                )
-                .groupBy("term")
-                .agg(
-                    F.sum("df_shard").cast("int").alias("df"),
-                    F.sum(F.length("docids_blob") + F.length("tfs_blob"))
-                    .cast("long").alias("bytes_docid_tf"),
-                )
-                .write.mode("overwrite")
-                .parquet(f"{staging}/dictionary_deltas")
+            from wiser_spark.operators.segments import (
+                dictionary_from_segments,
             )
+
+            dictionary_from_segments(staged).select(
+                "term", "df", "bytes_docid_tf"
+            ).write.mode("overwrite").parquet(f"{staging}/dictionary_deltas")
             # running avgdl bookkeeping rides in the commit log (no
             # docstats table in v2 — sentinels carry per-doc lengths)
             lensum = int(
@@ -224,10 +230,7 @@ class IncrementalIndexer:
                 F.sum("df").cast("int").alias("df"),
                 F.sum("bytes_docid_tf").cast("long").alias("bytes_docid_tf"),
             )
-            .withColumn(
-                "prefetch_pages",
-                F.ceil(F.col("bytes_docid_tf") / 4096).cast("int"),
-            )
+            .withColumn("prefetch_pages", prefetch_pages_col())
             .write.mode("overwrite")
             .parquet(f"{self.index_dir}/dictionary")
         )
