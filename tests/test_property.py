@@ -102,3 +102,43 @@ def test_token_spans_match_re_finditer(texts):
         ]
         assert spans == want, (t, spans, want)
     assert i == len(starts)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=300), min_size=1,
+             max_size=700),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=255),
+)
+def test_blockmax_exact_for_arbitrary_tf_shapes(tfs, k, code_seed):
+    """Block-max must return EXACTLY the full decode's top-k (ids,
+    bit-identical scores, tie order) for arbitrary tf distributions,
+    doc lengths, and k — with the prune fallback disabled so every
+    shape actually runs the bounded scan."""
+    from wiser_spark.config import BM25Params
+    from wiser_spark.functions.bm25 import tfnorm_cache
+    from wiser_spark.operators.segments import (
+        _encode_term_flat,
+        _topk_blockmax_single,
+        decode_segment_row,
+    )
+
+    params = BM25Params(0.9, 0.4)
+    tf_arr = np.array(tfs, dtype=np.int64)
+    n = len(tf_arr)
+    doc_ids = np.cumsum(1 + (np.arange(n) * 7919) % 5).astype(np.int64)
+    seg = _encode_term_flat(0, "t", doc_ids, tf_arr, None, None)
+    cache = tfnorm_cache(avgdl=33.0, params=params)
+    codes_for = lambda ids: (np.asarray(ids) * 31 + code_seed) % 256  # noqa: E731
+    idf_t = 1.7
+    ids, tfs_dec, _ = decode_segment_row(seg)
+    tf = tfs_dec.astype(np.float64)
+    scores = idf_t * ((tf * (params.k1 + 1.0))
+                      / (tf + cache[codes_for(ids)]))
+    order = np.lexsort((ids, -scores))[:k]
+    got = _topk_blockmax_single(
+        [seg], k, idf_t, cache, params.k1, codes_for, prune_fallback=False
+    )
+    np.testing.assert_array_equal(got[0], ids[order])
+    np.testing.assert_array_equal(got[1], scores[order])
