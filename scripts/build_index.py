@@ -47,6 +47,13 @@ def main() -> None:
     ap.add_argument("--resumable-work-dir", default="",
                     help="use the staged checkpointed pipeline instead "
                          "of the one-pass map-side build")
+    ap.add_argument("--batches", type=int, default=0,
+                    help=">0: RESUMABLE map-side build — the corpus "
+                         "splits into this many deterministic md5 "
+                         "slices, each committed exactly-once; a killed "
+                         "build resumes from the commit log; per-batch "
+                         "lineage in <out>/manifest.json. Generations "
+                         "are compacted into --out afterwards.")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -58,14 +65,28 @@ def main() -> None:
     from wiser_spark.operators.postings import assign_doc_ids
 
     src = spark.read.parquet(args.input)
-    if "doc_id" not in src.columns:
+    if "doc_id" not in src.columns and args.batches == 0:
+        # batched mode assigns its own dense ids (commit-log ranges)
         src = assign_doc_ids(src, tuple(args.order_cols.split(",")))
     cfg = IndexConfig(
         bm25=BM25Params(k1=args.k1, b=args.b),
         n_shards=args.n_shards or spark.sparkContext.defaultParallelism,
     )
     t0 = time.perf_counter()
-    if args.resumable_work_dir:
+    if args.batches > 0:
+        from wiser_spark.plans.build import build_index_mapside_batched
+
+        work = args.resumable_work_dir or f"{args.out}_generations"
+        manifest = build_index_mapside_batched(
+            spark, src, work, cfg, n_batches=args.batches,
+            order_cols=tuple(args.order_cols.split(",")),
+            content_col=args.content_col, compact_to=args.out,
+        )
+        print(json.dumps({"mode": "mapside-batched", "out": args.out,
+                          "generations": work,
+                          "batches": sorted(manifest.entries),
+                          "wall_sec": round(time.perf_counter() - t0, 2)}))
+    elif args.resumable_work_dir:
         from wiser_spark.plans.build import IndexBuildPipeline
 
         manifest = IndexBuildPipeline(

@@ -98,3 +98,100 @@ def test_changed_input_invalidates_chain(spark, work_dir, tmp_path):
     before = _mtimes(d, "docs")
     pipe.run()
     assert _mtimes(d, "docs") != before  # fingerprint change forces rebuild
+
+
+# ---------------------------------------------------- batched map-side build
+def test_batched_mapside_build_resumable_and_rank_identical(
+    spark, tmp_path, monkeypatch
+):
+    """build_index_mapside_batched: md5 batch split is deterministic
+    (replicated in pure python), a crash mid-build resumes from the
+    commit log without redoing committed batches, per-batch lineage
+    lands in manifest.json, and the compacted result is rank-identical
+    to the oracle fed in the same global order."""
+    import hashlib
+
+    from wiser_spark.oracle import OracleEngine
+    from wiser_spark.plans.build import build_index_mapside_batched
+    from wiser_spark.sources.corpus import make_corpus
+    from wiser_spark.streaming.incremental import IncrementalIndexer
+
+    params = BM25Params(0.9, 0.4)
+    cfg = IndexConfig(bm25=params, n_shards=2)
+    rows = make_corpus(200, seed=7)
+    n_batches = 4
+
+    # pure-python mirror of batch_id_col + per-batch assign_doc_ids
+    def bucket(r):
+        key = "\x00".join((r["repo"], r["path"], r["commit"]))
+        return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % n_batches
+
+    ordered = []
+    for b in range(n_batches):
+        batch = [r for r in rows if bucket(r) == b]
+        batch.sort(key=lambda r: (r["repo"], r["path"], r["commit"]))
+        ordered.extend(batch)
+    oracle = OracleEngine(params)
+    for r in ordered:
+        oracle.add_document(r["content"])
+
+    docs = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+        "content string"
+    )
+    d = str(tmp_path / "bidx")
+
+    # crash after two successful batches
+    real = IncrementalIndexer.process_batch
+    calls = {"n": 0}
+
+    def flaky(self, batch, batch_id):
+        if calls["n"] == 2:
+            raise RuntimeError("simulated executor loss")
+        calls["n"] += 1
+        return real(self, batch, batch_id)
+
+    monkeypatch.setattr(IncrementalIndexer, "process_batch", flaky)
+    with pytest.raises(RuntimeError, match="simulated"):
+        build_index_mapside_batched(
+            spark, docs, d, cfg, n_batches=n_batches
+        )
+    committed = set(json.load(open(f"{d}/commits.json")))
+    assert committed == {"0", "1"}
+    monkeypatch.setattr(IncrementalIndexer, "process_batch", real)
+
+    calls["n"] = 0
+    counted = IncrementalIndexer.process_batch
+
+    def counting(self, batch, batch_id):
+        calls["n"] += 1
+        return counted(self, batch, batch_id)
+
+    monkeypatch.setattr(IncrementalIndexer, "process_batch", counting)
+    out = str(tmp_path / "compacted")
+    manifest = build_index_mapside_batched(
+        spark, docs, d, cfg, n_batches=n_batches, compact_to=out
+    )
+    # resume processed ONLY the two uncommitted batches; the manifest
+    # accumulates all four entries (0-1 persisted by the crashed run),
+    # each carrying per-partition lineage + metrics
+    assert calls["n"] == 2
+    assert set(manifest.entries) == {f"batch_{b}" for b in range(4)}
+    for e in manifest.entries.values():
+        assert e.rows > 0 and e.bytes > 0 and e.files and e.wall_s >= 0
+
+    for terms, ph in [(["return"], False), (["return", "import"], False),
+                      (["return", "import"], True)]:
+        want = oracle.search(terms, k=10, is_phrase=ph)
+        for idx_dir in (d, out):
+            got = SegmentIndex(spark, idx_dir).search(
+                terms, k=10, is_phrase=ph).collect()
+            assert [r["doc_id"] for r in got] == [x for x, _ in want]
+            for r, (_, s) in zip(got, want):
+                assert r["score"] == pytest.approx(s, rel=1e-12)
+
+    # idempotent: a third run has nothing to do and changes nothing
+    m2 = build_index_mapside_batched(spark, docs, d, cfg,
+                                     n_batches=n_batches)
+    assert calls["n"] == 2  # no batch re-processed
+    assert set(m2.entries) == set(manifest.entries)

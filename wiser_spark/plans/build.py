@@ -23,6 +23,7 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from wiser_spark.config import IndexConfig
 from wiser_spark.operators.docstats import build_docstats, corpus_stats
@@ -166,3 +167,78 @@ class IndexBuildPipeline:
             json.dump(meta, f, indent=1)
         _ = fp_stats
         return self.manifest
+
+
+def batch_id_col(order_cols, n_batches: int):
+    """Deterministic batch assignment for the resumable map-side build:
+    first 8 hex digits of md5 over the NUL-joined order columns, mod
+    n_batches. md5 (not xxhash64) so the split is reproducible outside
+    Spark — tests and the DuckDB oracles compute the identical bucket."""
+    key = F.concat_ws("\x00", *[F.col(c).cast("string") for c in order_cols])
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % n_batches
+
+
+def build_index_mapside_batched(
+    spark: SparkSession,
+    source: DataFrame,
+    index_dir: str,
+    config: IndexConfig | None = None,
+    n_batches: int = 8,
+    order_cols=DEFAULT_ORDER,
+    content_col: str = "content",
+    compact_to: str | None = None,
+) -> Manifest:
+    """Resumable BATCH build on the zero-shuffle map-side encoder — the
+    north rule's "resumable from checkpoint with per-partition lineage
+    + metrics" for the scale path (plans.IndexBuildPipeline covers the
+    v1 relational path).
+
+    The corpus splits into ``n_batches`` deterministic md5 slices; each
+    slice goes through the streaming sink's exactly-once commit
+    protocol (staged write -> atomic generation publish -> commit-log
+    append, incremental.py), so a killed build RESUMES: committed
+    batches are skipped by batch_id, a torn staging dir is replaced by
+    the idempotent retry. Per-batch lineage (rows, bytes, per-file
+    sizes, wall seconds) is recorded in ``index_dir/manifest.json``.
+    At 10^12 files n_batches simply grows until one slice's postings
+    fit executor memory; batches run sequentially by design — the
+    PARALLELISM lives inside each batch (every shard encodes
+    concurrently), the sequencing only pins the dense docID ranges.
+
+    ``compact_to``: optionally merge the resulting generations into a
+    single-generation index at that directory (compact_index) once all
+    batches committed."""
+    from wiser_spark.operators.segments import compact_index
+    from wiser_spark.streaming.incremental import IncrementalIndexer
+
+    indexer = IncrementalIndexer(
+        index_dir, config=config, order_cols=order_cols,
+        content_col=content_col, fmt="v2",
+    )
+    manifest = Manifest(index_dir)
+    with_batch = source.withColumn(
+        "_batch", batch_id_col(order_cols, n_batches)
+    )
+    for b in range(n_batches):
+        stage = f"batch_{b}"
+        if str(b) in indexer._read_commits():
+            continue  # resumed: this slice is already in the index
+        with StageTimer() as t:
+            indexer.process_batch(with_batch.filter(F.col("_batch") == b)
+                                  .drop("_batch"), b)
+        gen_dir = f"{index_dir}/segments/generation={b}"
+        files, total_bytes = (
+            dir_lineage(gen_dir) if os.path.isdir(gen_dir) else ([], 0)
+        )
+        n = indexer._read_commits().get(str(b), [0, 0])[1]
+        manifest.record(
+            StageEntry(
+                stage=stage, status="complete",
+                input_fingerprint=fingerprint("batch", b, n_batches),
+                output_fingerprint=fingerprint("gen", b, n, total_bytes),
+                rows=n, bytes=total_bytes, wall_s=t.wall_s, files=files,
+            )
+        )
+    if compact_to:
+        compact_index(spark, index_dir, compact_to)
+    return manifest

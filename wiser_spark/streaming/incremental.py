@@ -132,13 +132,17 @@ class IncrementalIndexer:
             self._append_commit(commits, batch_id, self._next_doc_id(commits), 0)
             return
         offset = self._next_doc_id(commits)
-        from pyspark.sql import Window
+        # dense IDs continue the committed sequence; assignment uses the
+        # distributed range-partition scheme (assign_doc_ids), NOT a
+        # bare window — a resumable BATCH build feeds whole corpus
+        # slices through this sink, and a single-partition
+        # row_number() over a 10^9-doc batch is the exact anti-pattern
+        # assign_doc_ids exists to avoid. Same deterministic total
+        # order on order_cols, so micro-batches get identical ids.
+        from wiser_spark.operators.postings import assign_doc_ids
 
-        # batches are micro-sized: a window over the batch is fine; IDs
-        # continue the dense sequence recorded in the commit log
-        w = Window.orderBy(*self.order_cols)
-        docs = batch.withColumn(
-            "doc_id", (F.row_number().over(w) - 1 + offset).cast("long")
+        docs = assign_doc_ids(batch, self.order_cols).withColumn(
+            "doc_id", (F.col("doc_id") + F.lit(offset)).cast("long")
         )
         n_docs = docs.count()
         staging = f"{self.index_dir}/_staging/{batch_id}"
