@@ -52,8 +52,12 @@ def main() -> None:
                          "splits into this many deterministic md5 "
                          "slices, each committed exactly-once; a killed "
                          "build resumes from the commit log; per-batch "
-                         "lineage in <out>/manifest.json. Generations "
-                         "are compacted into --out afterwards.")
+                         "lineage in the generations work dir's "
+                         "manifest.json (<out>_generations unless "
+                         "--resumable-work-dir). Generations are "
+                         "compacted into --out afterwards. NOTE: this "
+                         "mode assigns its own dense docIDs; a source "
+                         "doc_id column is rejected.")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession

@@ -145,11 +145,11 @@ def test_batched_mapside_build_resumable_and_rank_identical(
     real = IncrementalIndexer.process_batch
     calls = {"n": 0}
 
-    def flaky(self, batch, batch_id):
+    def flaky(self, batch, batch_id, **kw):
         if calls["n"] == 2:
             raise RuntimeError("simulated executor loss")
         calls["n"] += 1
-        return real(self, batch, batch_id)
+        return real(self, batch, batch_id, **kw)
 
     monkeypatch.setattr(IncrementalIndexer, "process_batch", flaky)
     with pytest.raises(RuntimeError, match="simulated"):
@@ -163,9 +163,9 @@ def test_batched_mapside_build_resumable_and_rank_identical(
     calls["n"] = 0
     counted = IncrementalIndexer.process_batch
 
-    def counting(self, batch, batch_id):
+    def counting(self, batch, batch_id, **kw):
         calls["n"] += 1
-        return counted(self, batch, batch_id)
+        return counted(self, batch, batch_id, **kw)
 
     monkeypatch.setattr(IncrementalIndexer, "process_batch", counting)
     out = str(tmp_path / "compacted")
@@ -195,3 +195,16 @@ def test_batched_mapside_build_resumable_and_rank_identical(
                                      n_batches=n_batches)
     assert calls["n"] == 2  # no batch re-processed
     assert set(m2.entries) == set(manifest.entries)
+    # completed build cleans the staged bucketed corpus
+    assert not os.path.exists(f"{d}/_batched_source")
+    # guard rails: a different slice count on resume would pair stale
+    # generations with differently-bucketed new ones — refused; and a
+    # lake-assigned doc_id cannot be honored — refused
+    with pytest.raises(ValueError, match="resume mismatch"):
+        build_index_mapside_batched(spark, docs, d, cfg, n_batches=8)
+    from pyspark.sql import functions as F
+    with pytest.raises(ValueError, match="doc_id"):
+        build_index_mapside_batched(
+            spark, docs.withColumn("doc_id", F.lit(1)),
+            str(tmp_path / "other"), cfg, n_batches=2,
+        )

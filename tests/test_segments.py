@@ -261,17 +261,22 @@ def test_compact_index_written_before_skip_max_tfs(spark, tmp_path,
 
     legacy = str(tmp_path / "legacy")
     shutil.copytree(index_dir, legacy)
-    # rewrite the segments without the round-3 column (the old layout)
-    old = spark.read.parquet(f"{index_dir}/segments").drop("skip_max_tfs")
+    # rewrite the segments without the round-3 columns NOR the offsets
+    # column (binary missing -> filled with the documented b"" degrade
+    # value, arrays -> empty)
+    old = spark.read.parquet(f"{index_dir}/segments").drop(
+        "skip_max_tfs", "off_blob", "skip_off_offs"
+    )
     shutil.rmtree(f"{legacy}/segments")
     old.write.partitionBy("shard_id").parquet(f"{legacy}/segments")
     out = str(tmp_path / "compacted")
     compact_index(spark, legacy, out)
-    want = [tuple(r) for r in SegmentIndex(spark, index_dir)
-            .search(["return", "import"], k=10).collect()]
-    got = [tuple(r) for r in SegmentIndex(spark, out)
-           .search(["return", "import"], k=10).collect()]
-    assert got == want and len(got) == 10
+    for ph in (False, True):
+        want = [tuple(r) for r in SegmentIndex(spark, index_dir)
+                .search(["return", "import"], k=10, is_phrase=ph).collect()]
+        got = [tuple(r) for r in SegmentIndex(spark, out)
+               .search(["return", "import"], k=10, is_phrase=ph).collect()]
+        assert got == want and len(got) == 10
     # the compacted rows carry the re-derived block-max column
     seg = spark.read.parquet(f"{out}/segments").filter(
         "term = 'return'").collect()[0]

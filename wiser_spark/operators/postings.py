@@ -54,13 +54,23 @@ def assign_doc_ids(
         *[F.lit(x) for kv in offsets.items() for x in kv]
     )
     local = Window.partitionBy("_pid").orderBy(*order_cols)
-    return (
+    out = (
         with_pid.withColumn(
             "doc_id",
             (F.row_number().over(local) - 1 + offset_map[F.col("_pid")]).cast("long"),
         )
         .drop("_pid")
+        # pin the FINAL assignment (eager) so the intermediate cache can
+        # be released immediately — without this, repeated calls (one
+        # per batch in the resumable build / streaming sink) would
+        # accumulate pinned partitions until the context cleaner gets
+        # around to them. (localCheckpoint trades recomputability for
+        # determinism: on executor loss the caller's job retries from
+        # this stage — acceptable, the assignment itself is cheap.)
+        .localCheckpoint(eager=True)
     )
+    with_pid.unpersist()
+    return out
 
 
 def build_postings(

@@ -808,12 +808,18 @@ def compact_segments(
         f.split(" ", 1) for f in SEGMENT_SCHEMA.split(", ")
     )
     segs = segments
-    # indexes written before a column existed (e.g. pre-skip_max_tfs)
-    # compact fine — missing columns ride as nulls and the merge
-    # re-encodes them fresh
+    # indexes written before a column existed (e.g. pre-skip_max_tfs,
+    # pre-off_blob) compact fine: missing BINARY columns become empty
+    # bytes (the documented degrade value — decode_segment_row treats
+    # b"" off_blob as "no offsets stored") and missing arrays become
+    # empty arrays; the merge then re-encodes whatever survives
     for c in cols:
         if c not in segs.columns:
-            segs = segs.withColumn(c, F.lit(None).cast(col_types[c]))
+            fill = (
+                F.lit(b"") if col_types[c] == "binary"
+                else F.array().cast(col_types[c])
+            )
+            segs = segs.withColumn(c, fill)
     if "gen" not in segs.columns:
         if "generation" in segs.columns:
             segs = segs.withColumn("gen", F.col("generation").cast("long"))

@@ -207,25 +207,95 @@ def build_index_mapside_batched(
 
     ``compact_to``: optionally merge the resulting generations into a
     single-generation index at that directory (compact_index) once all
-    batches committed."""
+    batches committed.
+
+    Guard rails: the build parameters (n_batches, order_cols) and the
+    source lineage fingerprint are persisted on first run and CHECKED on
+    resume — resuming with a different slice count or changed input
+    would pair stale committed generations with differently-bucketed new
+    ones (docs dropped or doubled), so that raises instead. A source
+    that already carries ``doc_id`` is rejected: commit-log docIDs are
+    dense per batch by construction and cannot honor lake-assigned ids
+    (use write_index_mapside / IndexBuildPipeline for that).
+
+    IO shape: the bucketed corpus is STAGED once, partitioned by batch
+    (``_batched_source/``), so the per-batch reads prune to one slice —
+    without it, N batches would each rescan the full corpus (N-times
+    read amplification at the 10^12-file target). The per-batch
+    dictionary fold is deferred to ONE refresh after the last batch."""
     from wiser_spark.operators.segments import compact_index
     from wiser_spark.streaming.incremental import IncrementalIndexer
+
+    if "doc_id" in source.columns:
+        raise ValueError(
+            "build_index_mapside_batched assigns dense per-batch docIDs "
+            "from the commit log and cannot honor an existing doc_id "
+            "column; drop it (ids are reassigned) or use "
+            "write_index_mapside / IndexBuildPipeline to preserve it"
+        )
+    order_cols = list(order_cols)
+    params_path = f"{index_dir}/batched_build.json"
+    src_fp = _source_lineage_fp(source)
+    params = {
+        "n_batches": n_batches,
+        "order_cols": order_cols,
+        "source_fingerprint": src_fp,
+    }
+    os.makedirs(index_dir, exist_ok=True)
+    if os.path.exists(params_path):
+        with open(params_path) as f:
+            prior = json.load(f)
+        if prior != params:
+            raise ValueError(
+                f"resume mismatch at {index_dir!r}: committed batches "
+                f"were built with {prior}, this run asks for {params}; "
+                "mixing slice layouts or changed input would corrupt "
+                "the index — delete the directory to rebuild"
+            )
+    else:
+        with open(params_path, "w") as f:
+            json.dump(params, f)
 
     indexer = IncrementalIndexer(
         index_dir, config=config, order_cols=order_cols,
         content_col=content_col, fmt="v2",
     )
     manifest = Manifest(index_dir)
-    with_batch = source.withColumn(
-        "_batch", batch_id_col(order_cols, n_batches)
-    )
+    # stage the bucketed corpus ONCE, partitioned by slice, so each
+    # batch reads exactly its partition (deterministic content: skip
+    # when the prior run already wrote it; skip entirely when every
+    # batch is already committed — an idempotent re-run stages nothing)
+    staged_src = f"{index_dir}/_batched_source"
+    uncommitted = [
+        b for b in range(n_batches)
+        if str(b) not in indexer._read_commits()
+    ]
+    bucketed = None
+    if uncommitted:
+        if not os.path.exists(f"{staged_src}/_SUCCESS"):
+            source.withColumn(
+                "_batch", batch_id_col(order_cols, n_batches)
+            ).write.mode("overwrite").partitionBy("_batch").parquet(staged_src)
+        bucketed = spark.read.parquet(staged_src)
+
+    processed_any = False
     for b in range(n_batches):
         stage = f"batch_{b}"
-        if str(b) in indexer._read_commits():
-            continue  # resumed: this slice is already in the index
-        with StageTimer() as t:
-            indexer.process_batch(with_batch.filter(F.col("_batch") == b)
-                                  .drop("_batch"), b)
+        committed = str(b) in indexer._read_commits()
+        if committed and stage in manifest.entries:
+            continue  # resumed: slice indexed AND lineage recorded
+        if not committed:
+            with StageTimer() as t:
+                indexer.process_batch(
+                    bucketed.filter(F.col("_batch") == b).drop("_batch"),
+                    b, refresh_meta=False,
+                )
+            wall = t.wall_s
+            processed_any = True
+        else:
+            # crashed between commit-log append and manifest.record:
+            # backfill the entry from the durable artifacts
+            wall = 0.0
         gen_dir = f"{index_dir}/segments/generation={b}"
         files, total_bytes = (
             dir_lineage(gen_dir) if os.path.isdir(gen_dir) else ([], 0)
@@ -234,11 +304,19 @@ def build_index_mapside_batched(
         manifest.record(
             StageEntry(
                 stage=stage, status="complete",
-                input_fingerprint=fingerprint("batch", b, n_batches),
+                input_fingerprint=fingerprint("batch", b, n_batches, src_fp),
                 output_fingerprint=fingerprint("gen", b, n, total_bytes),
-                rows=n, bytes=total_bytes, wall_s=t.wall_s, files=files,
+                rows=n, bytes=total_bytes, wall_s=wall, files=files,
             )
         )
+    # ONE dictionary fold + stats for the whole build (also covers a
+    # resume whose crashed run never refreshed)
+    if processed_any or not os.path.exists(f"{index_dir}/stats.json"):
+        indexer._refresh_meta(spark)
+    # all batches committed: the staged bucketed corpus is dead weight
+    import shutil
+
+    shutil.rmtree(staged_src, ignore_errors=True)
     if compact_to:
         compact_index(spark, index_dir, compact_to)
     return manifest

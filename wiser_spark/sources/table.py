@@ -38,25 +38,32 @@ def read_corpus_table(
     Raises ValueError if the table is missing any north-rule column;
     extra columns are pruned (column pruning reaches the scan)."""
     df = None
+    iceberg_err: Exception | None = None
     if fmt in ("iceberg", "auto"):
         try:
             df = spark.read.format("iceberg").load(source)
         except Exception as ex:
             if fmt == "iceberg":
                 raise
-            # auto falls back ONLY when the Iceberg runtime itself is
-            # absent — a real table error (auth, bad snapshot, typo'd
-            # name) must stay loud, not resurface as a parquet-path one
-            msg = str(ex)
-            runtime_absent = (
-                "Failed to find data source" in msg
-                or "ClassNotFoundException" in msg
-                or "DATA_SOURCE_NOT_FOUND" in msg
-            )
-            if not runtime_absent:
-                raise
+            iceberg_err = ex
     if df is None:
-        df = spark.read.parquet(source)
+        try:
+            df = spark.read.parquet(source)
+        except Exception:
+            if iceberg_err is not None:
+                # neither read worked: surface the ICEBERG diagnostic
+                # (auth, snapshot, typo'd table name) unless it was just
+                # the runtime being absent — a parquet-path error would
+                # hide the real cause on an Iceberg-enabled cluster
+                msg = str(iceberg_err)
+                runtime_absent = (
+                    "Failed to find data source" in msg
+                    or "ClassNotFoundException" in msg
+                    or "DATA_SOURCE_NOT_FOUND" in msg
+                )
+                if not runtime_absent:
+                    raise iceberg_err
+            raise
     missing = [c for c in CORPUS_COLUMNS if c not in df.columns]
     if missing:
         raise ValueError(

@@ -118,7 +118,9 @@ class IncrementalIndexer:
         os.replace(tmp, self._commit_path)  # atomic on POSIX
 
     # ---------------------------------------------------------- the sink
-    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+    def process_batch(
+        self, batch: DataFrame, batch_id: int, refresh_meta: bool = True
+    ) -> None:
         spark = batch.sparkSession
         os.makedirs(self.index_dir, exist_ok=True)
         commits = self._read_commits()
@@ -205,7 +207,11 @@ class IncrementalIndexer:
             os.rename(f"{staging}/{table}", dst)
         shutil.rmtree(staging, ignore_errors=True)
         self._append_commit(commits, batch_id, offset, n_docs, lensum)
-        self._refresh_meta(spark)
+        # refresh_meta=False defers the vocabulary-sized dictionary fold
+        # (the batched build refreshes ONCE after its last batch instead
+        # of refolding every accumulated generation per batch)
+        if refresh_meta:
+            self._refresh_meta(spark)
 
     def _next_doc_id(self, commits: dict) -> int:
         """Dense append-only docIDs: the end of the committed ranges."""
