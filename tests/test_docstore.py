@@ -91,3 +91,31 @@ def test_empty_fetch_reads_nothing(spark, store):
     # the plan must not touch the extents table at all
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "extents" not in plan
+
+
+def test_search_snippets_from_doc_store(spark, tmp_path):
+    """The serving flow: search(return_snippets=True,
+    doc_store_dir=...) point-fetches the <= k winners from the chunked
+    store and produces EXACTLY the snippets the lake-table path gives."""
+    from wiser_spark.config import BM25Params, IndexConfig
+    from wiser_spark.operators.mapside import write_index_mapside
+    from wiser_spark.operators.postings import assign_doc_ids
+    from wiser_spark.operators.segments import SegmentIndex
+    from wiser_spark.sources.corpus import corpus_df
+
+    docs = assign_doc_ids(corpus_df(spark, 120)).select("doc_id", "content")
+    idx_dir = str(tmp_path / "idx")
+    store_dir = str(tmp_path / "store")
+    write_index_mapside(docs, idx_dir,
+                        IndexConfig(bm25=BM25Params(0.9, 0.4), n_shards=2))
+    write_doc_store(docs, store_dir)
+    idx = SegmentIndex(spark, idx_dir)
+    via_lake = [tuple(r) for r in idx.search(
+        ["return", "import"], k=5, return_snippets=True, docs=docs
+    ).collect()]
+    via_store = [tuple(r) for r in idx.search(
+        ["return", "import"], k=5, return_snippets=True,
+        doc_store_dir=store_dir,
+    ).collect()]
+    assert via_store == via_lake and len(via_store) == 5
+    assert all(isinstance(r[3], str) and r[3] for r in via_store)

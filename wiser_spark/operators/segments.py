@@ -1286,6 +1286,7 @@ class SegmentIndex:
         docs: DataFrame | None = None,
         n_passages: int = 3,
         content_col: str = "content",
+        doc_store_dir: str | None = None,
     ) -> DataFrame:
         """Top-k (rank, doc_id, score) — a single-query run of the SAME
         shard kernel ``search_batch`` uses (one code path, one shard
@@ -1298,12 +1299,21 @@ class SegmentIndex:
         occurrences for term queries, position-filtered for phrases
         (reference ``query_processing.h:446-492``) — and the k result
         docs' content (broadcast join) is passage-scored with the
-        reference's BM25-like highlighter (``highlighter.h:437-450``)."""
+        reference's BM25-like highlighter (``highlighter.h:437-450``).
+
+        ``doc_store_dir`` (alternative to ``docs``): the reference's
+        serving flow — the <= k winner ids point-fetch their content
+        from a chunked doc store written by ``write_doc_store``
+        (extent min/max pruning, only the winners decompress;
+        ``doc_store.h:277-362``) instead of joining the lake table."""
         spark = self.spark
         out_schema = "rank int, doc_id long, score double"
         if return_snippets:
-            if docs is None:
-                raise ValueError("return_snippets requires the docs table")
+            if docs is None and doc_store_dir is None:
+                raise ValueError(
+                    "return_snippets requires the docs table or a "
+                    "doc_store_dir"
+                )
             out_schema += ", snippet string"
         empty = spark.createDataFrame([], out_schema)
         per_shard = self._per_shard_topk(
@@ -1323,6 +1333,16 @@ class SegmentIndex:
         from wiser_spark.operators.highlight import snippet_from_stored_offsets
 
         terms_l = list(terms)
+        if docs is None:
+            # serving flow: collect the <= k winner ids (a k-row driver
+            # action, like the reference handing ids to its doc store)
+            # and point-fetch exactly those from the chunked store
+            from wiser_spark.operators.docstore import fetch_docs
+
+            ranked = ranked.localCheckpoint(eager=True)  # run topk once
+            ids = [int(r["doc_id"]) for r in ranked.select("doc_id").collect()]
+            docs = fetch_docs(spark, doc_store_dir, ids)
+            content_col = "content"
         hits = docs.select("doc_id", F.col(content_col).alias("content")).join(
             F.broadcast(ranked), "doc_id"
         )
