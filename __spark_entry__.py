@@ -377,6 +377,30 @@ def _q_bm25_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("rank", "doc_id", F.round("score", 6).alias("score"))
 
 
+def _q_bm25_snippets_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING flow: same phrase search, snippets point-fetched from
+    the chunked doc store (S7) instead of the lake table — the <= k
+    winner ids read back through extent-pruned fetch_docs. Ranking
+    columns share bm25_snippets' oracle; snippet equality between the
+    two content paths is pinned by pytest (test_docstore)."""
+    import hashlib
+    import tempfile
+
+    from wiser_spark.operators.docstore import write_doc_store
+
+    idx = _mapside_index(spark, sf_dir)
+    if sf_dir not in _DOCSTORE_CACHE:
+        tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+        d = f"{tempfile.gettempdir()}/wiser_docstore_{tag}"
+        write_doc_store(_documents(spark, sf_dir), d)
+        _DOCSTORE_CACHE[sf_dir] = d
+    out = idx.search(
+        ["table", "part"], k=10, is_phrase=True,
+        return_snippets=True, doc_store_dir=_DOCSTORE_CACHE[sf_dir],
+    )
+    return out.select("rank", "doc_id", F.round("score", 6).alias("score"))
+
+
 SNIPPET_DF_TERMS = ["table", "part", "dup", "key", "zz_no_such_term_zz"]
 
 
@@ -594,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_batch_segments": _q_bm25_batch_segments,
         "topk_from_segments_mapside": _q_topk_mapside,
         "bm25_snippets": _q_bm25_snippets,
+        "bm25_snippets_store": _q_bm25_snippets_store,
         "bm25_doc_freqs": _q_bm25_doc_freqs,
         "bm25_from_querylog": _q_bm25_from_querylog,
         "multimodal_metadata": _q_multimodal_metadata,
@@ -688,6 +713,9 @@ FROM sess GROUP BY user_id, session_id
             ["dup", "key"], k=10, params=PARAMS, is_phrase=False
         ),
         "bm25_snippets": osql.bm25_topk_sql(
+            ["table", "part"], k=10, params=PARAMS, is_phrase=True
+        ),
+        "bm25_snippets_store": osql.bm25_topk_sql(
             ["table", "part"], k=10, params=PARAMS, is_phrase=True
         ),
         "bm25_doc_freqs": osql.doc_freqs_sql(SNIPPET_DF_TERMS),
