@@ -119,3 +119,36 @@ def test_search_snippets_from_doc_store(spark, tmp_path):
     ).collect()]
     assert via_store == via_lake and len(via_store) == 5
     assert all(isinstance(r[3], str) and r[3] for r in via_store)
+
+
+def test_search_batch_snippets_match_single_path(spark, tmp_path):
+    """Batch snippets == per-query search snippets, on BOTH content
+    paths (lake table and chunked store), for term AND phrase queries."""
+    from wiser_spark.config import BM25Params, IndexConfig
+    from wiser_spark.operators.mapside import write_index_mapside
+    from wiser_spark.operators.postings import assign_doc_ids
+    from wiser_spark.operators.segments import SegmentIndex
+    from wiser_spark.sources.corpus import corpus_df
+
+    docs = assign_doc_ids(corpus_df(spark, 100)).select("doc_id", "content")
+    idx_dir = str(tmp_path / "idx")
+    store_dir = str(tmp_path / "store")
+    write_index_mapside(docs, idx_dir,
+                        IndexConfig(bm25=BM25Params(0.9, 0.4), n_shards=2))
+    write_doc_store(docs, store_dir)
+    idx = SegmentIndex(spark, idx_dir)
+    qlog = [(0, ["return"], False), (1, ["return", "import"], True),
+            (2, ["def", "self"], False)]
+    want = []
+    for qid, terms, ph in qlog:
+        for r in idx.search(terms, k=5, is_phrase=ph,
+                            return_snippets=True, docs=docs).collect():
+            want.append((qid, r["rank"], r["doc_id"], r["score"],
+                         r["snippet"]))
+    got_lake = [tuple(r) for r in idx.search_batch(
+        qlog, k=5, return_snippets=True, docs=docs).collect()]
+    got_store = [tuple(r) for r in idx.search_batch(
+        qlog, k=5, return_snippets=True, doc_store_dir=store_dir
+    ).collect()]
+    assert got_lake == sorted(want) == got_store
+    assert len(got_lake) == 15 and all(r[4] for r in got_lake)

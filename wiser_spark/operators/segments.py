@@ -1366,10 +1366,17 @@ class SegmentIndex:
         return hits.mapInPandas(mk_snippets, out_schema).orderBy("rank")
 
     def search_batch(
-        self, queries: list[tuple[int, list[str], bool]], k: int = 10
+        self,
+        queries: list[tuple[int, list[str], bool]],
+        k: int = 10,
+        return_snippets: bool = False,
+        docs: DataFrame | None = None,
+        n_passages: int = 3,
+        content_col: str = "content",
+        doc_store_dir: str | None = None,
     ) -> DataFrame:
         """Answer a WHOLE query log in ONE pass over the segment table:
-        (query_id, rank, doc_id, score).
+        (query_id, rank, doc_id, score[, snippet]).
 
         The QPS path: one scan + one Arrow stage answers every query —
         the shared shard kernel (``_per_shard_topk``) decodes each
@@ -1378,9 +1385,27 @@ class SegmentIndex:
         n_shards rows per query. The reference serves a log through its
         processor dispatch loop (``query_processing.h:956-979``) one
         query at a time; batching is the Spark-native fan-in that
-        amortizes scan and job cost."""
+        amortizes scan and job cost.
+
+        ``return_snippets`` adds the snippet column for EVERY query in
+        the log (each winner's matched offset pairs ride out of the
+        kernel, phrase queries position-filtered), with content from
+        ``docs`` (lake table, broadcast join over <= k*|log| winner
+        rows) or ``doc_store_dir`` (chunked-store point fetch of the
+        distinct winner ids — the serving flow)."""
         out_schema = "query_id int, rank int, doc_id long, score double"
-        per_shard = self._per_shard_topk(queries, k)
+        if return_snippets:
+            if docs is None and doc_store_dir is None:
+                raise ValueError(
+                    "return_snippets requires the docs table or a "
+                    "doc_store_dir"
+                )
+            out_schema += ", snippet string"
+        offs_qids = (
+            frozenset(int(q[0]) for q in queries)
+            if return_snippets else frozenset()
+        )
+        per_shard = self._per_shard_topk(queries, k, offs_qids=offs_qids)
         if per_shard is None:
             return self.spark.createDataFrame([], out_schema)
         from pyspark.sql import Window
@@ -1389,8 +1414,51 @@ class SegmentIndex:
         w = Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.asc("doc_id")
         )
-        return (
-            per_shard.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "rank", "doc_id", "score")
+        ranked = per_shard.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+        if not return_snippets:
+            return ranked.select("query_id", "rank", "doc_id", "score")
+
+        from wiser_spark.operators.highlight import snippet_from_stored_offsets
+
+        terms_by_qid = {
+            int(qid): [str(t) for t in terms] for qid, terms, _ in queries
+        }
+        if docs is None:
+            from wiser_spark.operators.docstore import fetch_docs
+
+            ranked = ranked.localCheckpoint(eager=True)  # run topk once
+            ids = [
+                int(r["doc_id"])
+                for r in ranked.select("doc_id").distinct().collect()
+            ]
+            docs = fetch_docs(self.spark, doc_store_dir, ids)
+            content_col = "content"
+        hits = docs.select(
+            "doc_id", F.col(content_col).alias("content")
+        ).join(F.broadcast(ranked), "doc_id")
+
+        def mk_snippets(batches):
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"],
+                        "rank": pdf["rank"],
+                        "doc_id": pdf["doc_id"],
+                        "score": pdf["score"],
+                        "snippet": [
+                            snippet_from_stored_offsets(
+                                c, [list(o) for o in offs],
+                                terms_by_qid[int(q)], n_passages,
+                            )
+                            for c, offs, q in zip(
+                                pdf["content"], pdf["offs"], pdf["query_id"]
+                            )
+                        ],
+                    }
+                )
+
+        return hits.mapInPandas(mk_snippets, out_schema).orderBy(
+            "query_id", "rank"
         )
