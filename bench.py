@@ -106,10 +106,18 @@ def main() -> None:
         batch_qps = round(len(batch) / dt, 2)
         _ = n_res
 
-        # segment-path queries (cold: read segments from parquet)
+        # segment-path queries (cold: read segments from parquet).
+        # The driver dictionary cache builds OUTSIDE the per-query
+        # timings (the reference pays its .tip mmap at engine load,
+        # not on query 1) and is reported as its own line — r03's
+        # seg_bm25_single_high "regression" was this cost landing on
+        # whichever query ran first.
         idx = SegmentIndex(spark, index_dir)
         idx.segments = idx.segments.cache()
         idx.segments.count()
+        t0 = time.perf_counter()
+        idx.warmup()
+        timings["seg_dict_warmup"] = round(time.perf_counter() - t0, 3)
         for name, (terms, is_phrase) in BM25_QUERIES.items():
             t0 = time.perf_counter()
             idx.search(terms, k=10, is_phrase=is_phrase).collect()
@@ -173,6 +181,9 @@ def main() -> None:
         idx1 = SegmentIndex(spark, d3)
         idx1.segments = idx1.segments.cache()
         idx1.segments.count()
+        t0 = time.perf_counter()
+        idx1.warmup()
+        sf1["dict_warmup"] = round(time.perf_counter() - t0, 3)
         lat: list[float] = []
         for rep in range(3):
             for qname, (terms, is_phrase) in BM25_QUERIES.items():
@@ -228,6 +239,7 @@ def main() -> None:
         "sf1_query_phrase2_sec": sf1["phrase2"],
         "sf1_warm_p50_sec": sf1["p50"],
         "sf1_warm_p99_sec": sf1["p99"],
+        "sf1_dict_warmup_sec": sf1["dict_warmup"],
         **bmx,
         "cpus": cpus,
     }

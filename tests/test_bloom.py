@@ -50,17 +50,47 @@ def test_no_false_negatives_unit():
 
 
 def test_reference_sizing():
-    """libbloom math with the reference defaults (entries=5,
-    ratio=0.001, create_qq_mem_dump.cc:14-15): 71 bits, 9 bytes,
-    k=10 (bloom.c:95-117)."""
+    """libbloom math (bloom.c:95-117). Default = the reference's
+    production indexer pair (entries=5, ratio=0.0009,
+    tools/indexer.py:43-44): 72 bits, 9 bytes, k=11. The dump tool's
+    ratio=0.001 pair (create_qq_mem_dump.cc:14-15) stays reachable:
+    71 bits, 9 bytes, k=10."""
     from wiser_spark.functions.bloom import bloom_params
 
     bp = bloom_params()
-    assert (bp.bits, bp.nbytes, bp.hashes) == (71, 9, 10)
-    assert (bp.entries, bp.ratio) == (5, 0.001)
+    assert (bp.bits, bp.nbytes, bp.hashes) == (72, 9, 11)
+    assert (bp.entries, bp.ratio) == (5, 0.0009)
+    legacy = bloom_params(ratio=0.001)
+    assert (legacy.bits, legacy.nbytes, legacy.hashes) == (71, 9, 10)
     # and the formula tracks its inputs
-    bigger = bloom_params(entries=10, ratio=0.001)
+    bigger = bloom_params(entries=10)
     assert bigger.bits > bp.bits
+
+
+def test_enhanced_double_hash_masks():
+    """bits=72 is composite: the enhanced-double-hash probe walk must
+    not collapse to short orbits (plain double hashing does when the
+    stride shares a factor with 72), and the scalar probe mask must
+    stay byte-identical to the vectorized builder row (set/probe
+    contract)."""
+    from wiser_spark.functions.bloom import (
+        bloom_params,
+        token_bloom_mask,
+        vocab_bloom_matrix,
+    )
+
+    bp = bloom_params()
+    vocab = [f"tok{i}" for i in range(2000)]
+    mat = vocab_bloom_matrix(vocab, bp)
+    for t in (vocab[0], vocab[777], vocab[1999]):
+        row = mat[vocab.index(t)]
+        assert np.array_equal(row, token_bloom_mask(t, bp))
+    # healthy walks set ~k distinct bits (expected birthday collisions
+    # for 11 probes into 72 bits: C(11,2)/72 ~ 0.8 per mask); a short
+    # orbit would collapse popcounts toward 2-3.
+    pops = np.unpackbits(mat, axis=1).sum(axis=1)
+    assert int(np.median(pops)) >= bp.hashes - 1
+    assert int(pops.min()) >= bp.hashes - 4
 
 
 def test_bloom_box_roundtrip_and_presence():

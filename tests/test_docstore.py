@@ -81,6 +81,50 @@ def test_point_fetch_prunes_extents(spark, store):
     assert "PushedFilters" in plan and "first_doc" in plan, plan[:2000]
 
 
+def test_large_fetch_bounded_predicate(spark, store):
+    """A serving-scale fetch (10^4 requested ids) must build a BOUNDED
+    predicate — at most MAX_FETCH_RANGES range clauses, not one clause
+    per id (ADVICE r03) — and return exactly the requested docs."""
+    from wiser_spark.operators.docstore import MAX_FETCH_RANGES
+
+    ids = list(range(0, 400, 3)) + list(range(10_000, 20_000))  # mostly absent
+    out = fetch_docs(spark, d := store[0], doc_ids=ids)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    # clause count ~ occurrences of first_doc in the analyzed filter
+    assert plan.count("first_doc") <= MAX_FETCH_RANGES + 2, plan[:2000]
+    rows = {r["doc_id"]: r["content"] for r in out.collect()}
+    want = {i: store[1][i] for i in range(0, 400, 3)}
+    assert rows == want  # absent ids silent, present ids exact
+    _ = d
+
+
+def test_codec_recorded_and_honored(spark, tmp_path):
+    """The store records its codec in meta.json; fetch_docs decodes
+    with the RECORDED codec (default = lz4 when importable else zlib),
+    and an explicit zlib store roundtrips regardless of environment."""
+    import json
+
+    from wiser_spark.operators.docstore import default_codec
+
+    docs = spark.createDataFrame(
+        [(i, f"doc body {i} " * 20) for i in range(50)],
+        "doc_id long, content string",
+    )
+    d = str(tmp_path / "ds_codec")
+    write_doc_store(docs, d, codec="zlib")
+    with open(f"{d}/meta.json") as f:
+        assert json.load(f)["codec"] == "zlib"
+    got = {r["doc_id"]: r["content"] for r in fetch_docs(spark, d).collect()}
+    assert got == {i: f"doc body {i} " * 20 for i in range(50)}
+    # the default codec is always a working roundtrip in THIS env
+    d2 = str(tmp_path / "ds_default")
+    write_doc_store(docs, d2)
+    with open(f"{d2}/meta.json") as f:
+        assert json.load(f)["codec"] == default_codec()
+    got2 = {r["doc_id"]: r["content"] for r in fetch_docs(spark, d2).collect()}
+    assert got2 == got
+
+
 def test_empty_fetch_reads_nothing(spark, store):
     """fetch_docs with an explicit empty id list returns an empty frame
     WITHOUT scanning the store (no extent filter could prune it)."""

@@ -158,9 +158,11 @@ def test_selective_decode_reads_only_needed_bags(spark):
 
 
 def test_partial_decode_strategy_gate():
-    """Driver-side strategy: partial decode only for big (prefetch_pages
-    >= threshold), single-use, docid+tf-only terms; null pages (old
-    dictionaries) decode fully."""
+    """Driver-side strategy: partial decode for big (prefetch_pages >=
+    threshold), docid+tf-only terms — INCLUDING terms shared by several
+    queries (round 4: the shard kernel's per-term bag cache makes
+    shared partial decode a union, so sharing no longer disqualifies);
+    null pages (old dictionaries) decode fully."""
     from wiser_spark.operators.segments import partial_decode_terms
 
     qlist = [
@@ -174,10 +176,71 @@ def test_partial_decode_strategy_gate():
     got = partial_decode_terms(
         qlist, pages, pos_terms={"shared", "ph1"}, off_terms={"snip"}
     )
-    # hot/hot2: big + single-use + plain -> partial. rare: too small.
-    # shared: 2 queries. ph1: positions. snip: offsets.
+    # hot/hot2: big + plain -> partial. rare: too small. shared: in a
+    # phrase query's pos_terms. ph1: positions. snip: offsets.
     assert got == {"hot", "hot2"}
+    # shared by two NON-phrase queries -> now eligible (union decode)
+    got2 = partial_decode_terms(
+        [(0, ["rare", "shared"], False), (1, ["hot", "shared"], False)],
+        pages, set(), set(),
+    )
+    assert got2 == {"hot", "shared"}
     assert partial_decode_terms(qlist, {}, set(), set()) == set()  # null pages
+
+
+def test_bag_cache_shares_decodes_across_queries(spark):
+    """The per-term bag cache: a second selective decode over the SAME
+    bags never re-reads bytes (poison the whole row after the first
+    call), and new candidates extend the cache by only THEIR bags —
+    the union-of-candidates behavior for terms shared across a batch."""
+    from wiser_spark.operators.segments import _decode_term_selective
+
+    rows = [("t", i * 2, 1 + (i % 7)) for i in range(700)]  # 6 bags
+    postings = spark.createDataFrame(rows, "term string, doc_id long, tf int")
+    seg = build_segments(postings, n_shards=1).collect()[0].asDict()
+    full_ids, full_tfs, _ = decode_segment_row(seg)
+    cache: dict = {}
+    cand1 = np.array([0, 2 * 150], dtype=np.int64)         # bags 0 and 1
+    ids1, tfs1, _, _ = _decode_term_selective([seg], cand1, cache)
+    assert set(cache) == {(0, 0), (0, 1)}
+    # poison EVERYTHING: cached bags must serve without any read
+    poisoned = dict(seg)
+    poisoned["docids_blob"] = b"\xff" * len(seg["docids_blob"])
+    poisoned["tfs_blob"] = b"\xff" * len(seg["tfs_blob"])
+    ids1b, tfs1b, _, _ = _decode_term_selective([poisoned], cand1, cache)
+    np.testing.assert_array_equal(ids1b, ids1)
+    np.testing.assert_array_equal(tfs1b, tfs1)
+    # a second query's candidates reuse bag 1 and add only bag 4
+    cand2 = np.array([2 * 150, 2 * 580], dtype=np.int64)
+    ids2, tfs2, _, _ = _decode_term_selective([seg], cand2, cache)
+    assert set(cache) == {(0, 0), (0, 1), (0, 4)}
+    at = np.searchsorted(ids2, cand2)
+    np.testing.assert_array_equal(ids2[at], cand2)
+    np.testing.assert_array_equal(
+        tfs2[at], full_tfs[np.searchsorted(full_ids, cand2)]
+    )
+
+
+def test_batch_shared_terms_match_single_queries(spark, index_dir,
+                                                 monkeypatch):
+    """A query log whose queries SHARE terms (now partial-decode
+    eligible) answers rank-identically to the per-query path."""
+    import wiser_spark.operators.segments as segmod
+
+    idx = SegmentIndex(spark, index_dir)
+    qlog = [
+        (0, ["return", "import"], False),
+        (1, ["return", "def"], False),
+        (2, ["import", "def", "return"], False),
+        (3, ["return"], False),
+    ]
+    want = []
+    for qid, terms, ph in qlog:
+        for r in idx.search(terms, k=5, is_phrase=ph).collect():
+            want.append((qid, r["rank"], r["doc_id"], r["score"]))
+    monkeypatch.setattr(segmod, "PARTIAL_DECODE_MIN_PAGES", 1)
+    got = [tuple(r) for r in idx.search_batch(qlog, k=5).collect()]
+    assert got == sorted(want)
 
 
 def test_prefetch_pages_in_dictionary_and_partial_path(
@@ -235,6 +298,27 @@ QUERIES = [
     (["return", "import"], True),
     (["import", "return", "def"], True),
 ]
+
+
+def test_warmup_and_jobless_dictionary_cache(spark, index_dir):
+    """write_index records n_terms in stats.json; warmup() builds the
+    driver dictionary cache from it WITHOUT a count() job, and lookups
+    afterwards (present and absent terms) run jobless and identical."""
+    idx = SegmentIndex(spark, index_dir)
+    assert "n_terms" in idx.meta and idx.meta["n_terms"] > 0
+    assert idx.warmup() is idx and idx._dict_mem is not None
+    assert len(idx._dict_mem) == idx.meta["n_terms"]
+    # jobless from here: lookups hit the driver dict
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    m = idx._dict_lookup(["return", "no_such_term_xyz"])
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before
+    assert "return" in m and "no_such_term_xyz" not in m
+    # and matches a cold, filter-path lookup (cap forced to 0)
+    idx2 = SegmentIndex(spark, index_dir)
+    idx2.DICT_DRIVER_CACHE_MAX = 0
+    assert idx2._dict_lookup(["return"])["return"] == m["return"]
 
 
 @pytest.mark.parametrize("terms,is_phrase", QUERIES)

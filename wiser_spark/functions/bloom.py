@@ -59,8 +59,15 @@ class BloomParams(NamedTuple):
     ratio: float
 
 
-def bloom_params(entries: int = 5, ratio: float = 0.001) -> BloomParams:
-    """libbloom sizing (``bloom.c:95-117``), reference defaults."""
+def bloom_params(entries: int = 5, ratio: float = 0.0009) -> BloomParams:
+    """libbloom sizing (``bloom.c:95-117``).
+
+    Defaults = the reference's PRODUCTION indexer invocation
+    (``tools/indexer.py:43-44``: entries=5, ratio=0.0009 -> 72 bits /
+    9 bytes / k=11); the dump tool's ratio=0.001 pair
+    (``create_qq_mem_dump.cc:14-15``: 71 bits / 9 bytes / k=10) stays
+    reachable by passing ratio=0.001. Indexes record their geometry in
+    stats.json, so readers always probe with the written sizing."""
     bpe = -(math.log(ratio) / _LN2_SQ)
     bits = int(entries * bpe)
     nbytes = bits // 8 + (1 if bits % 8 else 0)
@@ -73,13 +80,21 @@ def token_bloom_mask(term: str, bp: BloomParams) -> np.ndarray:
     bit_i = (a + i*b) mod bits, LSB-first within each byte."""
     h = hashlib.md5(term.encode()).digest()
     a = int.from_bytes(h[0:8], "little")
-    # stride must be nonzero mod bits, or all k probes hit ONE bit and
-    # the false-positive rate degenerates (bits=71 is prime, so any
-    # stride in [1, bits-1] walks k distinct positions)
+    # ENHANCED double hashing (Dillinger & Manolios 2004): bit_i =
+    # (a + i*b + (i^3 - i)/6) mod bits. Plain double hashing needs the
+    # stride coprime with bits to avoid short orbits; at the composite
+    # ratio=0.0009 sizing (bits=72, phi(72)=24) only a third of strides
+    # qualify and stride COLLISIONS between probe and member terms
+    # degenerate the FP rate. The cubic increment breaks the shared-
+    # progression structure for ANY modulus — measured FP returns to
+    # the ~ratio ballpark (pinned by the prune-rate test). The family
+    # is not part of the on-disk contract; what is (and is tested) is
+    # set/probe mask identity and no false negatives.
     b = 1 + int.from_bytes(h[8:16], "little") % (bp.bits - 1)
+    i_arr = np.arange(bp.hashes, dtype=np.uint64)
+    incr = (i_arr * (i_arr * i_arr - 1) // np.uint64(6)) % np.uint64(bp.bits)
     idx = (
-        (np.uint64(a) + np.arange(bp.hashes, dtype=np.uint64) * np.uint64(b))
-        % np.uint64(bp.bits)
+        (np.uint64(a) + i_arr * np.uint64(b) + incr) % np.uint64(bp.bits)
     ).astype(np.int64)
     mask = np.zeros(bp.nbytes, dtype=np.uint8)
     np.bitwise_or.at(mask, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
@@ -96,9 +111,11 @@ def vocab_bloom_matrix(uniques, bp: BloomParams) -> np.ndarray:
     digests = b"".join(hashlib.md5(t.encode()).digest() for t in uniques)
     ab = np.frombuffer(digests, dtype="<u8").reshape(v, 2)
     b = (ab[:, 1] % np.uint64(bp.bits - 1)) + np.uint64(1)
+    # enhanced double hashing, identical to token_bloom_mask's formula
     i_arr = np.arange(bp.hashes, dtype=np.uint64)
+    incr = (i_arr * (i_arr * i_arr - 1) // np.uint64(6)) % np.uint64(bp.bits)
     idx = (
-        (ab[:, 0][:, None] + i_arr[None, :] * b[:, None])
+        (ab[:, 0][:, None] + i_arr[None, :] * b[:, None] + incr[None, :])
         % np.uint64(bp.bits)
     ).astype(np.int64)
     out = np.zeros((v, bp.nbytes), dtype=np.uint8)

@@ -21,15 +21,22 @@ boundary inside the extent. ``first_doc``/``last_doc`` give parquet
 min/max row-group pruning, so fetching k docs reads only the extents
 that can hold them — the distributed madvise-random story.
 
-Compression is zlib level 1 (stdlib) standing in for LZ4, which does
-not ship in this container; the chunk/offset/alignment layout — the
-part that matters for the format — is faithful. The per-row content
-sha256 invariant (input-hint contract) is pinned by test + the
-``doc_store_roundtrip`` oracle entry.
+The codec is PLUGGABLE: LZ4 (the reference's codec, ``doc_store.h:
+28-127``) is used when the ``lz4`` package is importable, else zlib
+level 1 (stdlib) stands in. Each store records its codec in a
+``meta.json`` next to the extents, and ``fetch_docs`` decodes with the
+RECORDED codec — a store written under one environment reads correctly
+under another (or raises an explicit error if the recorded codec is
+unavailable, never silent corruption). The chunk/offset/alignment
+layout — the part that matters for the format — is codec-independent.
+The per-row content sha256 invariant (input-hint contract) is pinned by
+test + the ``doc_store_roundtrip`` oracle entry.
 """
 
 from __future__ import annotations
 
+import json
+import os
 import zlib
 from collections.abc import Iterator
 
@@ -40,6 +47,12 @@ from pyspark.sql import functions as F
 KB4 = 4 * 1024
 EXTENT_BYTES = 1 * 1024 * 1024
 
+# predicate-size bound for point fetches: past this many requested ids
+# the per-id OR chain is coalesced into at most this many [lo, hi]
+# range clauses (ADVICE r03: analyzer cost grows with expression-tree
+# size; winners cluster by extent so runs << ids)
+MAX_FETCH_RANGES = 64
+
 STORE_SCHEMA = (
     "first_doc long, last_doc long, n_docs int, "
     "doc_ids array<long>, enc_offs array<long>, sizes array<int>, "
@@ -47,9 +60,36 @@ STORE_SCHEMA = (
 )
 
 
+# ------------------------------------------------------------------ codec
+def _codec_fns(codec: str):
+    """(compress, decompress) for a codec NAME — module-level dispatch
+    so executor-side closures pickle a string, not a function object."""
+    if codec == "lz4":
+        import lz4.frame as _lz4  # raises if the env lacks it: explicit
+
+        return _lz4.compress, _lz4.decompress
+    if codec == "zlib":
+        return (lambda data: zlib.compress(data, 1)), zlib.decompress
+    raise ValueError(f"unknown doc-store codec {codec!r}")
+
+
+def default_codec() -> str:
+    """lz4 when importable (the reference's codec), else zlib."""
+    try:
+        import lz4.frame  # noqa: F401
+
+        return "lz4"
+    except ImportError:
+        return "zlib"
+
+
 def should_align(start_off: int, size: int) -> bool:
-    """Reference ``ShouldAlign`` (doc_store.h:73-78): align when the
-    unaligned placement spans more 4KB blocks than an aligned one."""
+    """Align when the unaligned placement spans more 4KB blocks than an
+    aligned one — the INTENDED rule of the reference's ``ShouldAlign``
+    (doc_store.h:73-78). (The reference's literal expression
+    ``(start_off % 4*KB) + size`` parses as ``(start_off % 4)*KB`` under
+    C precedence — a quirk, not a behavior to reproduce; no interop
+    impact since the container format differs anyway.)"""
     n_aligned = -(-size // KB4)
     n_unaligned = -(-((start_off % KB4) + size) // KB4)
     return n_unaligned > n_aligned
@@ -61,15 +101,21 @@ def write_doc_store(
     content_col: str = "content",
     align: bool = True,
     extent_bytes: int = EXTENT_BYTES,
+    codec: str | None = None,
 ) -> None:
     """Pack (doc_id, content) into compressed extents, one pass, no
     shuffle beyond an in-partition sort (any doc-disjoint partitioning
-    qualifies; docIDs ascend within each extent)."""
+    qualifies; docIDs ascend within each extent). ``codec`` defaults to
+    lz4 when available, else zlib; the choice is recorded in the
+    store's meta.json and honored by ``fetch_docs``."""
+    codec = codec or default_codec()
+    _codec_fns(codec)  # validate driver-side before launching the job
     sel = docs.select(
         F.col("doc_id"), F.col(content_col).alias("content")
     ).sortWithinPartitions("doc_id")
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        compress, _ = _codec_fns(codec)
         cur = bytearray()
         ids: list[int] = []
         offs: list[int] = []
@@ -95,10 +141,9 @@ def write_doc_store(
 
         for pdf in batches:
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
-                comp = zlib.compress(
+                comp = compress(
                     content.encode("utf-8") if isinstance(content, str)
-                    else bytes(content),
-                    1,
+                    else bytes(content)
                 )
                 off = len(cur)
                 do_align = align and should_align(off, len(comp))
@@ -119,6 +164,40 @@ def write_doc_store(
     sel.mapInPandas(pack, STORE_SCHEMA).write.mode("overwrite").parquet(
         f"{store_dir}/extents"
     )
+    os.makedirs(store_dir, exist_ok=True)
+    with open(f"{store_dir}/meta.json", "w") as f:
+        json.dump({"codec": codec, "align": bool(align)}, f)
+
+
+def _fetch_predicate(wanted: list[int]):
+    """Extent-pruning predicate over SORTED distinct ids, with a bounded
+    expression tree: exact per-id clauses up to MAX_FETCH_RANGES ids,
+    else the ids coalesce into at most MAX_FETCH_RANGES [lo, hi] runs
+    (split points = the largest id gaps, so the ranges hug the
+    clusters). A run's clause ``first_doc <= hi AND last_doc >= lo``
+    admits every extent a member id could live in; extra docs inside a
+    range never leak — the fetch UDF keeps exact ``wset`` membership."""
+    if len(wanted) <= MAX_FETCH_RANGES:
+        pred = None
+        for d in wanted:
+            p = (F.col("first_doc") <= d) & (F.col("last_doc") >= d)
+            pred = p if pred is None else pred | p
+        return pred
+    import numpy as np
+
+    arr = np.asarray(wanted, dtype=np.int64)
+    gaps = np.diff(arr)
+    # the MAX_FETCH_RANGES-1 largest gaps split the ids into runs
+    cuts = np.sort(
+        np.argpartition(gaps, -(MAX_FETCH_RANGES - 1))[-(MAX_FETCH_RANGES - 1):]
+    )
+    starts = np.concatenate(([0], cuts + 1))
+    ends = np.concatenate((cuts, [len(arr) - 1]))
+    pred = None
+    for lo, hi in zip(arr[starts], arr[ends]):
+        p = (F.col("first_doc") <= int(hi)) & (F.col("last_doc") >= int(lo))
+        pred = p if pred is None else pred | p
+    return pred
 
 
 def fetch_docs(
@@ -128,20 +207,30 @@ def fetch_docs(
     extents whose [first_doc, last_doc] range can hold one are read
     (parquet min/max pruning on the range predicate) and only the
     requested docs decompress; with None, the full store streams out
-    (the scan/export path)."""
+    (the scan/export path).
+
+    Predicate size is BOUNDED: up to MAX_FETCH_RANGES ids keep the
+    exact per-id OR chain; larger requests (a whole query log's
+    winners, k x |log| ids) coalesce the sorted ids into at most
+    MAX_FETCH_RANGES [lo, hi] runs split at the LARGEST gaps — winners
+    cluster by extent, so runs cover few extra extents — and exactness
+    stays with the in-UDF ``wset`` membership check either way."""
+    try:
+        with open(f"{store_dir}/meta.json") as f:
+            codec = json.load(f).get("codec", "zlib")
+    except FileNotFoundError:  # stores written before meta.json: zlib
+        codec = "zlib"
+    _codec_fns(codec)  # fail fast driver-side if the codec is absent
     ext = spark.read.schema(STORE_SCHEMA).parquet(f"{store_dir}/extents")
     wanted = sorted(set(int(d) for d in doc_ids)) if doc_ids is not None else None
     wset = set(wanted) if wanted is not None else None
     if wanted is not None:
         if not wanted:  # explicit empty request: no scan at all
             return spark.createDataFrame([], "doc_id long, content string")
-        pred = None
-        for d in wanted:
-            p = (F.col("first_doc") <= d) & (F.col("last_doc") >= d)
-            pred = p if pred is None else pred | p
-        ext = ext.filter(pred)
+        ext = ext.filter(_fetch_predicate(wanted))
 
     def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _, decompress = _codec_fns(codec)
         for pdf in batches:
             out_ids: list[int] = []
             out_docs: list[str] = []
@@ -156,7 +245,7 @@ def fetch_docs(
                     comp = mv[off : off + int(sizes[i])]
                     out_ids.append(int(did))
                     out_docs.append(
-                        zlib.decompress(comp).decode("utf-8")
+                        decompress(bytes(comp)).decode("utf-8")
                     )
             yield pd.DataFrame({"doc_id": out_ids, "content": out_docs})
 

@@ -491,7 +491,13 @@ def write_index_mapside(
         else config.n_shards
     )
     meta = {
-        "n_docs": n_docs, "avgdl": avgdl, "n_shards": n_shards_actual,
+        "n_docs": n_docs, "avgdl": avgdl,
+        # vocabulary size in the metadata lets readers size the driver
+        # dictionary cache with zero Spark jobs (parquet-footer count)
+        "n_terms": written.sparkSession.read.parquet(
+            f"{index_dir}/dictionary"
+        ).count(),
+        "n_shards": n_shards_actual,
         "k1": config.bm25.k1, "b": config.bm25.b,
         "format": "wiser-spark-segment-v2-mapside",
         "doclen_sentinel": True,

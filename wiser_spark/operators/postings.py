@@ -18,7 +18,10 @@ DEFAULT_ORDER = ("repo", "path", "commit")
 
 
 def assign_doc_ids(
-    df: DataFrame, order_cols=DEFAULT_ORDER, n_partitions: int | None = None
+    df: DataFrame,
+    order_cols=DEFAULT_ORDER,
+    n_partitions: int | None = None,
+    checkpoint: bool = False,
 ) -> DataFrame:
     """Dense, deterministic docIDs: global rank over a total order.
 
@@ -54,22 +57,29 @@ def assign_doc_ids(
         *[F.lit(x) for kv in offsets.items() for x in kv]
     )
     local = Window.partitionBy("_pid").orderBy(*order_cols)
-    out = (
-        with_pid.withColumn(
-            "doc_id",
-            (F.row_number().over(local) - 1 + offset_map[F.col("_pid")]).cast("long"),
-        )
-        .drop("_pid")
+    out = with_pid.withColumn(
+        "doc_id",
+        (F.row_number().over(local) - 1 + offset_map[F.col("_pid")]).cast("long"),
+    ).drop("_pid")
+    if checkpoint:
         # pin the FINAL assignment (eager) so the intermediate cache can
-        # be released immediately — without this, repeated calls (one
-        # per batch in the resumable build / streaming sink) would
-        # accumulate pinned partitions until the context cleaner gets
-        # around to them. (localCheckpoint trades recomputability for
-        # determinism: on executor loss the caller's job retries from
-        # this stage — acceptable, the assignment itself is cheap.)
-        .localCheckpoint(eager=True)
-    )
-    with_pid.unpersist()
+        # be released immediately — repeated calls (one per batch in the
+        # resumable build / streaming sink, which pass checkpoint=True)
+        # would otherwise accumulate pinned partitions until the context
+        # cleaner gets around to them. localCheckpoint trades
+        # recomputability for determinism: on executor/node loss the
+        # checkpointed blocks are unrecoverable and the caller's job
+        # fails instead of recomputing — why this is OPT-IN: a one-pass
+        # 10^9-doc build must stay recomputable end-to-end, while the
+        # per-micro-batch sink's assignment is small and re-runnable
+        # from its own retry.
+        out = out.localCheckpoint(eager=True)
+        with_pid.unpersist()
+        return out
+    # default path: with_pid stays persisted (released by Spark's
+    # context cleaner with the DataFrame) — the persisted layout is what
+    # keeps the pid->count map and the final pass on the SAME sampled
+    # range boundaries, so it must outlive every action on `out`.
     return out
 
 

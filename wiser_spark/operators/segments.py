@@ -347,9 +347,13 @@ def write_index(
     docstats.select("doc_id", "doclen", "doclen_char").write.mode(
         "overwrite"
     ).parquet(f"{index_dir}/docstats")
+    # vocabulary size rides in the metadata so readers can size the
+    # driver dictionary cache without a count() job (ADVICE r03)
+    n_terms = spark.read.parquet(f"{index_dir}/dictionary").count()
     meta = {
         "n_docs": stats.n_docs,
         "avgdl": stats.avgdl,
+        "n_terms": n_terms,
         "n_shards": config.n_shards,
         "k1": config.bm25.k1,
         "b": config.bm25.b,
@@ -429,25 +433,46 @@ def partial_decode_terms(
     """Driver-side strategy pick: terms eligible for skip-based partial
     decode. A term qualifies when (a) its posting column is big enough
     that skipping frames pays (prefetch_pages >= PARTIAL_DECODE_MIN_
-    PAGES — dictionaries without the field decode fully), (b) no query
-    needs its positions/offsets streams (those decode full), and (c)
-    only ONE query in the batch references it (shared terms decode once
-    fully rather than partially per query)."""
-    uses: dict[str, int] = {}
-    for _, terms_l, _ in qlist:
-        for t in set(terms_l):
-            uses[t] = uses.get(t, 0) + 1
+    PAGES — dictionaries without the field decode fully) and (b) no
+    query needs its positions/offsets streams (those decode full).
+
+    Terms SHARED by several queries are eligible too (round-4 upgrade;
+    r03 decoded them fully): the shard kernel keeps one per-term BAG
+    CACHE, so the batch effectively decodes the UNION of the sharing
+    queries' candidate bags — each 128-posting bag decodes at most
+    once, and a term whose cache grows past a third of its bags is
+    promoted to one vectorized full decode instead."""
+    terms = {t for _, terms_l, _ in qlist for t in terms_l}
     return {
         t
-        for t, n in uses.items()
-        if n == 1
-        and t not in pos_terms
+        for t in terms
+        if t not in pos_terms
         and t not in off_terms
         and (pages_map.get(t) or 0) >= PARTIAL_DECODE_MIN_PAGES
     }
 
 
-def _decode_term_selective(rows, cand):
+def _decode_bag(r, b, pre, n, n_bags):
+    """Decode ONE 128-posting bag of a segment row -> (ids, tfs)."""
+    if n_bags <= 1:
+        ids, tfs, _ = decode_segment_row(r)
+        return ids, tfs
+    cnt = PACK_SIZE if b < n_bags - 1 else n - b * PACK_SIZE
+    deltas = decode_column(
+        np.frombuffer(r["docids_blob"], dtype=np.uint8),
+        cnt,
+        offset=int(r["skip_docid_offs"][b]),
+    )
+    ids = np.cumsum(deltas.astype(np.int64)) + pre[b]
+    tfs = decode_column(
+        np.frombuffer(r["tfs_blob"], dtype=np.uint8),
+        cnt,
+        offset=int(r["skip_tf_offs"][b]),
+    ).astype(np.int64)
+    return ids, tfs
+
+
+def _decode_term_selective(rows, cand, bag_cache: dict | None = None):
     """Skip-based PARTIAL decode of one term's (possibly multi-
     generation) rows: decode only the 128-posting bags whose docID
     range can contain a candidate — the skip entries' pre_doc_id gives
@@ -455,19 +480,27 @@ def _decode_term_selective(rows, cand):
     docIDs from the bag's frame alone (reference SkipForward,
     query_processing.h:810-852, done at decode granularity).
 
+    ``bag_cache`` (one dict per term, owned by the shard kernel) keys
+    (row_idx, bag_idx) -> (ids, tfs): when several queries in a batch
+    share the term, each bag decodes at most ONCE across the whole
+    batch — the union-of-candidates behavior without any cross-query
+    coordination.
+
     Returns (ids, tfs, None, None) covering every candidate that
     exists in the term; non-selected bags are never touched."""
+    if bag_cache is None:
+        bag_cache = {}
     parts = []
-    for r in rows:
+    for ri, r in enumerate(rows):
         n = int(r["df_shard"])
         pre = np.asarray(r["skip_predocs"], dtype=np.int64)
         n_bags = len(pre)
         if n_bags <= 1:
-            ids, tfs, _ = decode_segment_row(r)
-            parts.append((ids, tfs))
+            key = (ri, 0)
+            if key not in bag_cache:
+                bag_cache[key] = _decode_bag(r, 0, pre, n, n_bags)
+            parts.append(bag_cache[key])
             continue
-        docid_offs = np.asarray(r["skip_docid_offs"], dtype=np.int64)
-        tf_offs = np.asarray(r["skip_tf_offs"], dtype=np.int64)
         # bag b holds docIDs strictly greater than pre[b] (pre[b] IS the
         # last docID of bag b-1), so a candidate EQUAL to pre[b] lives
         # in bag b-1: side='left' puts it there; candidates below the
@@ -475,16 +508,11 @@ def _decode_term_selective(rows, cand):
         sel = np.unique(
             np.maximum(np.searchsorted(pre, cand, side="left") - 1, 0)
         )
-        buf_d = np.frombuffer(r["docids_blob"], dtype=np.uint8)
-        buf_t = np.frombuffer(r["tfs_blob"], dtype=np.uint8)
         for b in sel:
-            cnt = PACK_SIZE if b < n_bags - 1 else n - b * PACK_SIZE
-            deltas = decode_column(buf_d, cnt, offset=int(docid_offs[b]))
-            ids_b = np.cumsum(deltas.astype(np.int64)) + pre[b]
-            tfs_b = decode_column(
-                buf_t, cnt, offset=int(tf_offs[b])
-            ).astype(np.int64)
-            parts.append((ids_b, tfs_b))
+            key = (ri, int(b))
+            if key not in bag_cache:
+                bag_cache[key] = _decode_bag(r, int(b), pre, n, n_bags)
+            parts.append(bag_cache[key])
     parts.sort(key=lambda p: int(p[0][0]) if len(p[0]) else 0)
     ids = np.concatenate([p[0] for p in parts])
     tfs = np.concatenate([p[1] for p in parts])
@@ -538,21 +566,7 @@ def _topk_blockmax_single(rows, k, idf_t, cache, k1, codes_for,
 
     def decode_bag(ri, b, cnt):
         r, pre, n, n_bags = ctx[ri]
-        if n_bags <= 1:  # single-bag rows (incl. varint-tail fast path)
-            ids, tfs, _ = decode_segment_row(r)
-            return ids, tfs
-        deltas = decode_column(
-            np.frombuffer(r["docids_blob"], dtype=np.uint8),
-            cnt,
-            offset=int(r["skip_docid_offs"][b]),
-        )
-        ids = np.cumsum(deltas.astype(np.int64)) + pre[b]
-        tfs = decode_column(
-            np.frombuffer(r["tfs_blob"], dtype=np.uint8),
-            cnt,
-            offset=int(r["skip_tf_offs"][b]),
-        ).astype(np.int64)
-        return ids, tfs
+        return _decode_bag(r, b, pre, n, n_bags)
 
     ids_parts: list = []
     score_parts: list = []
@@ -605,6 +619,173 @@ def _topk_blockmax_single(rows, k, idf_t, cache, k1, codes_for,
                 return None
         score_bag(ri, b, cnt)
         i += 1
+    all_ids = np.concatenate(ids_parts)
+    all_sc = np.concatenate(score_parts)
+    order = np.lexsort((all_ids, -all_sc))[:k]
+    return all_ids[order], all_sc[order]
+
+
+def _topk_blockmax_conj(rows_by_term, terms_l, k, idfs, cache, k1,
+                        codes_for, bag_caches: dict,
+                        prune_fallback: bool = True):
+    """Score-neutral BLOCK-MAX top-k for a CONJUNCTION — the multi-term
+    extension of ``_topk_blockmax_single`` (the north star's
+    "block-max-WAND-style scorer" at bag granularity; reference
+    semantics stay exact AND, ``query_processing.h:810-852``).
+
+    The LEAD term (smallest shard df) drives: every result doc is one
+    of its postings, so its 128-posting bags partition the result
+    space. Each lead bag [lo, hi] (lo/hi from the skip entries'
+    pre-doc-ids; the last bag of a generation is open-ended —
+    conservative) gets a TRUE upper bound on any conjunction score
+    inside it:
+
+        bound(bag) = Σ_t  w_t · idf_t · bnd(maxtf_t)
+
+    where bnd(m) = m(k1+1)/(m+cmin) with cmin = min of the lossy
+    length cache (BM25 tf-norm is increasing in tf, decreasing in the
+    cache term), maxtf_lead = the bag's own skip_max_tfs entry, and
+    maxtf_other = max of skip_max_tfs over that term's bags OVERLAPPING
+    [lo, hi] (any result doc's posting for that term lives in an
+    overlapping bag; the bag intervals tile the term's doc range
+    contiguously, so a window is never empty — guarded anyway).
+
+    Lead bags process in descending bound order; candidates decode
+    through the shared per-term BAG CACHES (each bag of any term
+    decodes at most once per batch), intersect, and score exactly.
+    Once k exact scores exist, θ = k-th best, and the first bag with
+    bound < θ ends the scan — every skipped doc scores <= bound < θ
+    STRICTLY, so winners, exact scores, and the (score desc, doc_id
+    asc) tie order all match the full-decode path.
+
+    Returns (winner_ids, winner_scores) or None when the caller should
+    take the generic path: any term has multiple generation rows (the
+    per-bag doc ranges of different generations interleave, breaking
+    the sorted-interval overlap math — compaction restores
+    eligibility), any row predates skip_max_tfs, the lead is too small
+    for per-bag work to pay, or the decode-work projection exceeds the
+    budget (flat tf distributions — same escape as the single-term
+    scorer; ``prune_fallback=False`` pins exactness in tests)."""
+    INF = np.int64(2**62)
+    cmin = float(cache.min())
+
+    def bnd(m):
+        return (m * (k1 + 1.0)) / (m + cmin)
+
+    weight: dict[str, float] = {}
+    for t in terms_l:
+        weight[t] = weight.get(t, 0.0) + 1.0
+    uniq = list(weight)
+
+    # per-term bag table from the term's ONE segment row: (lo, hi,
+    # max_tf) per bag, lo/hi ascending by construction (pre-doc-ids of
+    # an ascending posting list)
+    rows_of: dict[str, dict] = {}
+    tables: dict[str, tuple] = {}
+    total_bags = 0
+    for t in uniq:
+        rows = rows_by_term[t]
+        if len(rows) != 1:
+            return None  # multi-generation: compaction restores this
+        r = rows[0]
+        mx = r["skip_max_tfs"] if "skip_max_tfs" in r else None
+        if mx is None or (isinstance(mx, float) and np.isnan(mx)):
+            return None
+        n = int(r["df_shard"])
+        pre = np.asarray(r["skip_predocs"], dtype=np.int64)
+        n_bags = max(len(pre), 1)
+        mxa = np.asarray(mx, dtype=np.int64)
+        if mxa.size != n_bags:
+            return None  # foreign/legacy row shape: stay exact
+        lo = (pre if len(pre) else np.zeros(1, dtype=np.int64)) + 1
+        # hi of bag b = pre[b+1] (the EXACT last docID of bag b); the
+        # final bag is open-ended (its last docID isn't stored)
+        hi = np.concatenate((lo[1:] - 1, np.asarray([INF])))
+        tables[t] = (lo, hi, mxa)
+        rows_of[t] = {"row": r, "pre": pre, "n": n, "n_bags": n_bags}
+        total_bags += n_bags
+    lead = min(uniq, key=lambda t: rows_of[t]["n"])
+    l_lo, l_hi, l_max = tables[lead]
+    n_lead = l_lo.size
+    if n_lead < 4:
+        return None  # tiny lead: the generic path is already minimal
+    others = [t for t in uniq if t != lead]
+
+    # per-lead-bag combined bound: overlap window per other term =
+    # bags with bag_lo <= lead_hi and bag_hi >= lead_lo (both arrays
+    # ascending); window max via a per-window slice max — windows of
+    # consecutive lead bags are near-disjoint, so total work is
+    # O(n_lead + n_other)
+    bounds = weight[lead] * idfs[lead] * bnd(l_max.astype(np.float64))
+    for t in others:
+        t_lo, t_hi, t_max = tables[t]
+        j_end = np.searchsorted(t_lo, l_hi, side="right")
+        j_start = np.searchsorted(t_hi, l_lo, side="left")
+        wmax = np.zeros(n_lead, dtype=np.float64)
+        for i in range(n_lead):
+            if j_start[i] < j_end[i]:
+                wmax[i] = float(t_max[j_start[i]:j_end[i]].max())
+        bounds += weight[t] * idfs[t] * bnd(wmax)
+
+    desc = np.argsort(-bounds, kind="stable")
+
+    def cache_fill():
+        return sum(len(bag_caches.get(t, {})) for t in uniq)
+
+    budget = max(8, total_bags // 3) if prune_fallback else total_bags + 1
+    spent0 = cache_fill()
+    ids_parts: list = []
+    score_parts: list = []
+    theta = -np.inf
+    topk_buf = np.zeros(0, dtype=np.float64)
+    for step in range(desc.size):
+        i = int(desc[step])
+        if bounds[i] < theta:
+            break  # bounds descend: everything after is < θ too
+        if cache_fill() - spent0 >= budget:
+            return None  # θ buys too little here; generic path wins
+        if prune_fallback and step % 16 == 0 and theta > -np.inf:
+            n_surv = int(np.count_nonzero(bounds[desc[step:]] >= theta))
+            if (cache_fill() - spent0) + n_surv * (1 + len(others)) > budget:
+                return None
+        lr = rows_of[lead]
+        bc = bag_caches.setdefault(lead, {})
+        key = (0, i if lr["n_bags"] > 1 else 0)
+        if key not in bc:
+            bc[key] = _decode_bag(
+                lr["row"], i, lr["pre"], lr["n"], lr["n_bags"]
+            )
+        cand, lead_tfs = bc[key]
+        tf_by_term = {lead: lead_tfs}
+        for t in others:
+            ids_t, tfs_t, _, _ = _decode_term_selective(
+                rows_by_term[t], cand, bag_caches.setdefault(t, {})
+            )
+            keep = np.isin(cand, ids_t)
+            if not keep.all():
+                cand = cand[keep]
+                tf_by_term = {u: v[keep] for u, v in tf_by_term.items()}
+            if cand.size == 0:
+                break
+            tf_by_term[t] = tfs_t[np.searchsorted(ids_t, cand)]
+        if cand.size == 0:
+            continue
+        denom = cache[codes_for(cand)]
+        scores = np.zeros(cand.size, dtype=np.float64)
+        for t in uniq:
+            tf = tf_by_term[t].astype(np.float64)
+            scores += weight[t] * idfs[t] * ((tf * (k1 + 1.0)) / (tf + denom))
+        ids_parts.append(cand)
+        score_parts.append(scores)
+        merged = np.concatenate((topk_buf, scores))
+        if merged.size >= k:
+            cut = np.partition(merged, merged.size - k)[merged.size - k:]
+            topk_buf = cut
+            theta = cut[0]
+        else:
+            topk_buf = merged
+    if not ids_parts:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
     all_ids = np.concatenate(ids_parts)
     all_sc = np.concatenate(score_parts)
     order = np.lexsort((all_ids, -all_sc))[:k]
@@ -1032,23 +1213,43 @@ class SegmentIndex:
     # (vacuum_engine.h:119-142). The analogue: when the vocabulary is
     # modest, pull (term -> (df, prefetch_pages)) to the driver ONCE —
     # every subsequent query's dictionary lookup (and every absent-term
-    # early exit) then costs zero Spark jobs. Past the cap (10^12-file
-    # vocabularies) lookups stay distributed filters on the cached
-    # dictionary DataFrame.
-    DICT_DRIVER_CACHE_MAX = 2_000_000
+    # early exit) then costs zero Spark jobs. The cap bounds DRIVER
+    # memory, not correctness: ~150-200 bytes of PyObjects per entry
+    # puts 200k terms around 30-40 MB — safe on a default-sized driver
+    # (ADVICE r03; the old 2M cap could reach hundreds of MB). Past the
+    # cap (10^12-file vocabularies) lookups stay distributed filters on
+    # the cached dictionary DataFrame.
+    DICT_DRIVER_CACHE_MAX = 200_000
+
+    def _vocab_size(self) -> int:
+        """Vocabulary size, from stats.json when the writer recorded it
+        (every round-4+ writer does) — sizing the driver cache then
+        costs zero Spark jobs; older indexes pay one count()."""
+        n = self.meta.get("n_terms")
+        return int(n) if n is not None else self.dictionary.count()
+
+    def warmup(self) -> "SegmentIndex":
+        """Build the driver dictionary cache (and materialize the
+        cached dictionary DataFrame) OUTSIDE any query's timing — the
+        reference pays its .tip mmap at engine load, not on the first
+        query (vacuum_engine.h:119-142). Call once after __init__ in
+        latency-sensitive serving; idempotent."""
+        self._dict_lookup([])
+        return self
 
     def _dict_lookup(self, terms: list[str]) -> dict:
         """term -> (df, prefetch_pages) for the terms present."""
         if not self._dict_mem_tried:
             self._dict_mem_tried = True
-            n = self.dictionary.count()
-            if n <= self.DICT_DRIVER_CACHE_MAX:
+            if self._vocab_size() <= self.DICT_DRIVER_CACHE_MAX:
                 self._dict_mem = {
                     r["term"]: (int(r["df"]), r["prefetch_pages"])
                     for r in self.dictionary.collect()
                 }
         if self._dict_mem is not None:
             return {t: self._dict_mem[t] for t in terms if t in self._dict_mem}
+        if not terms:
+            return {}
         rows = self.dictionary.filter(F.col("term").isin(list(terms))).collect()
         return {r["term"]: (int(r["df"]), r["prefetch_pages"]) for r in rows}
 
@@ -1153,9 +1354,12 @@ class SegmentIndex:
             # LAZY decode, shared across queries: a term decodes at most
             # once fully (at the richest level any query needs); terms
             # in partial_set instead decode only the bags that can hold
-            # a candidate, per query (never cached — partials are
-            # candidate-specific)
+            # a candidate — through ONE per-term bag cache shared by
+            # every query in the batch (each 128-posting bag decodes at
+            # most once; shared rare terms cost the UNION of their
+            # queries' candidate bags, not a full decode each)
             decoded: dict = {}
+            bag_caches: dict[str, dict] = {}
 
             def get_full(t):
                 if t not in decoded:
@@ -1163,6 +1367,17 @@ class SegmentIndex:
                         rows_by_term, {t}, t in pos_terms, t in off_terms
                     )[t]
                 return decoded[t]
+
+            def get_partial(t, cand):
+                bc = bag_caches.setdefault(t, {})
+                nb = sum(
+                    max(len(r["skip_predocs"]), 1) for r in rows_by_term[t]
+                )
+                if len(bc) > nb // 3:
+                    # the cache already covers a third of the bags: one
+                    # vectorized full decode beats more per-bag work
+                    return get_full(t)
+                return _decode_term_selective(rows_by_term[t], cand, bc)
 
             out_q: list[int] = []
             out_d: list[np.ndarray] = []
@@ -1192,6 +1407,32 @@ class SegmentIndex:
                         if need_off:
                             out_o.extend([None] * winners.size)
                         continue
+                # conjunction block-max: lead bags scan in descending
+                # combined-bound order, provably non-competitive bags
+                # (and bags where some term can't overlap at all) are
+                # never decoded; exact winners/scores/tie-order
+                if (
+                    len(terms_l) > 1
+                    and not ph
+                    and qid not in offs_qids
+                    and all(
+                        t in partial_set and t not in decoded
+                        for t in set(terms_l)
+                    )
+                ):
+                    bmc = _topk_blockmax_conj(
+                        rows_by_term, terms_l, k, idfs, cache, k1,
+                        codes_for, bag_caches,
+                    )
+                    if bmc is not None:
+                        winners, wscores = bmc
+                        if winners.size:
+                            out_q.extend([qid] * winners.size)
+                            out_d.append(winners)
+                            out_s.append(wscores)
+                            if need_off:
+                                out_o.extend([None] * winners.size)
+                        continue
                 # smallest-first by shard df (zig-zag analogue) straight
                 # from the segment rows — no decode needed to order
                 tsorted = sorted(
@@ -1206,9 +1447,7 @@ class SegmentIndex:
                     if t in decoded or cand is None or t not in partial_set:
                         qdec[t] = get_full(t)
                     else:
-                        qdec[t] = _decode_term_selective(
-                            rows_by_term[t], cand
-                        )
+                        qdec[t] = get_partial(t, cand)
                     ids = qdec[t][0]
                     cand = ids if cand is None else cand[np.isin(cand, ids)]
                     if cand.size == 0:
