@@ -242,3 +242,55 @@ def test_resume_with_other_format_refuses(tmp_path):
     IncrementalIndexer(d, fmt="v2")
     with pytest.raises(ValueError, match="cannot resume"):
         IncrementalIndexer(d, fmt="v1")
+
+
+def test_auto_compaction_tiered_trigger(spark, tmp_path, oracle):
+    """A 20-generation v2 stream with compact_every=6 compacts
+    automatically (generation count never exceeds the tier after a
+    commit), answers the BM25 suite rank-identically to an UNCOMPACTED
+    twin fed the same batches, and heals an interrupted swap."""
+    from wiser_spark.streaming.incremental import IncrementalIndexer
+
+    rows = make_corpus(200)
+    cfg = IndexConfig(bm25=PARAMS, n_shards=3)
+    d_auto = str(tmp_path / "auto")
+    d_plain = str(tmp_path / "plain")
+    ix_auto = IncrementalIndexer(d_auto, cfg, fmt="v2", compact_every=6)
+    ix_plain = IncrementalIndexer(d_plain, cfg, fmt="v2")
+    for b in range(20):
+        batch = spark.createDataFrame(rows[b * 10 : (b + 1) * 10], SCHEMA)
+        ix_auto.process_batch(batch, b)
+        ix_plain.process_batch(batch, b)
+        assert len(ix_auto._generations()) <= 6
+    assert len(ix_plain._generations()) == 20
+    idx_a = SegmentIndex(spark, d_auto)
+    idx_p = SegmentIndex(spark, d_plain)
+    assert idx_a.stats.n_docs == idx_p.stats.n_docs == 200
+    assert idx_a.stats.avgdl == pytest.approx(idx_p.stats.avgdl, rel=1e-12)
+    suite = [
+        (["return"], False), (["return", "import"], False),
+        (["def", "self", "return"], False), (["return", "import"], True),
+        (["import", "return", "def"], True), (["zz_absent"], False),
+    ]
+    for terms, ph in suite:
+        got_a = [tuple(r) for r in
+                 idx_a.search(terms, k=10, is_phrase=ph).collect()]
+        got_p = [tuple(r) for r in
+                 idx_p.search(terms, k=10, is_phrase=ph).collect()]
+        assert got_a == got_p, (terms, ph)
+    # interrupted swap: live table gone, backup present -> rolls back
+    os.rename(f"{d_auto}/segments", f"{d_auto}/segments.gc")
+    ix_auto._recover_compaction()
+    assert os.path.exists(f"{d_auto}/segments")
+    assert not os.path.exists(f"{d_auto}/segments.gc")
+    # completed swap leftover: backup beside live table -> dropped
+    import shutil as _sh
+
+    _sh.copytree(f"{d_auto}/segments", f"{d_auto}/segments.gc")
+    ix_auto._recover_compaction()
+    assert not os.path.exists(f"{d_auto}/segments.gc")
+    got = [tuple(r) for r in
+           idx_a.search(["return", "import"], k=10).collect()]
+    want = [tuple(r) for r in
+            idx_p.search(["return", "import"], k=10).collect()]
+    assert got == want

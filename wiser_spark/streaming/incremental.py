@@ -60,6 +60,7 @@ class IncrementalIndexer:
         content_col: str = "content",
         fmt: str = "v1",
         with_blooms: bool = True,
+        compact_every: int | None = None,
     ):
         """``fmt="v1"``: shuffle-built generations + docstats table (the
         original streaming layout). ``fmt="v2"``: each generation is
@@ -67,7 +68,15 @@ class IncrementalIndexer:
         doc-length rows and both bloom sides ride inside the segment
         table, no docstats table exists, and ``compact_index`` merges
         the generations (sentinels and blooms included) into the same
-        single-generation layout a batch map-side build writes."""
+        single-generation layout a batch map-side build writes.
+
+        ``compact_every``: the TIERED AUTO-COMPACTION trigger — a
+        long-running stream otherwise accumulates one generation per
+        micro-batch and every query merges them per (shard, term)
+        forever. When the segment table holds MORE than this many
+        generations after a commit, they merge in place into one
+        (``compact_segments`` — sentinels, both bloom sides, and the
+        dictionary deltas included). None (default) disables it."""
         if fmt not in ("v1", "v2"):
             raise ValueError(f"unknown streaming index format: {fmt}")
         # resuming an existing index with the OTHER format would corrupt
@@ -89,6 +98,7 @@ class IncrementalIndexer:
         self.content_col = content_col
         self.fmt = fmt
         self.with_blooms = with_blooms
+        self.compact_every = compact_every
 
     # ------------------------------------------------------- commit log
     @property
@@ -123,6 +133,7 @@ class IncrementalIndexer:
     ) -> None:
         spark = batch.sparkSession
         os.makedirs(self.index_dir, exist_ok=True)
+        self._recover_compaction()
         commits = self._read_commits()
         if str(batch_id) in commits:
             # at-least-once replay of a committed batch: a no-op (but
@@ -143,7 +154,7 @@ class IncrementalIndexer:
         # order on order_cols, so micro-batches get identical ids.
         from wiser_spark.operators.postings import assign_doc_ids
 
-        docs = assign_doc_ids(batch, self.order_cols).withColumn(
+        docs = assign_doc_ids(batch, self.order_cols, checkpoint=True).withColumn(
             "doc_id", (F.col("doc_id") + F.lit(offset)).cast("long")
         )
         n_docs = docs.count()
@@ -209,9 +220,99 @@ class IncrementalIndexer:
         self._append_commit(commits, batch_id, offset, n_docs, lensum)
         # refresh_meta=False defers the vocabulary-sized dictionary fold
         # (the batched build refreshes ONCE after its last batch instead
-        # of refolding every accumulated generation per batch)
+        # of refolding every accumulated generation per batch) — and
+        # likewise defers auto-compaction to the caller's final refresh
         if refresh_meta:
+            self._maybe_compact(spark)
             self._refresh_meta(spark)
+
+    # ------------------------------------------------- auto-compaction
+    def _generations(self, table: str = "segments") -> list[int]:
+        """Committed generation ids present in a table directory."""
+        try:
+            return sorted(
+                int(p.split("=", 1)[1])
+                for p in os.listdir(f"{self.index_dir}/{table}")
+                if p.startswith("generation=")
+            )
+        except FileNotFoundError:
+            return []
+
+    def _recover_compaction(self) -> None:
+        """Heal a compaction interrupted mid-swap. Per-table state
+        machine: ``<table>.gc`` holding the pre-swap data exists only
+        during the two-rename window — if the live table is present the
+        swap completed (drop the backup), if it is missing the swap was
+        interrupted (roll the backup forward... i.e. back; the
+        compaction simply retriggers later). A PARTIAL multi-table swap
+        is query-consistent either way: the dictionary fold and the
+        per-(shard, term) merge are both generation-agnostic."""
+        for table in _TABLES:
+            cur = f"{self.index_dir}/{table}"
+            gc = cur + ".gc"
+            if os.path.exists(gc):
+                if os.path.exists(cur):
+                    shutil.rmtree(gc)
+                else:
+                    os.rename(gc, cur)
+        shutil.rmtree(
+            f"{self.index_dir}/_staging/compact", ignore_errors=True
+        )
+
+    def _maybe_compact(self, spark: SparkSession) -> None:
+        if not self.compact_every:
+            return
+        if len(self._generations()) > self.compact_every:
+            self.compact_now(spark)
+
+    def compact_now(self, spark: SparkSession) -> None:
+        """Merge every accumulated generation into ONE, in place: the
+        streaming analogue of the reference's qq->vacuum conversion
+        (B18) run as maintenance. The merged data lands as generation
+        <max committed id> (future micro-batch ids are strictly
+        larger), each table swaps in atomically with a rollback backup
+        (see ``_recover_compaction``), and queries before/after are
+        rank-identical (pinned by test_streaming)."""
+        from wiser_spark.operators.segments import compact_segments
+
+        gens = self._generations()
+        if len(gens) <= 1:
+            return
+        g = gens[-1]
+        staging = f"{self.index_dir}/_staging/compact"
+        shutil.rmtree(staging, ignore_errors=True)
+        try:
+            with open(f"{self.index_dir}/stats.json") as f:
+                nbytes = (json.load(f).get("bloom") or {}).get("nbytes")
+        except (FileNotFoundError, json.JSONDecodeError):
+            nbytes = None
+        segs = spark.read.parquet(f"{self.index_dir}/segments")
+        compact_segments(segs, nbytes).write.mode("overwrite").partitionBy(
+            "shard_id"
+        ).parquet(f"{staging}/segments/generation={g}")
+        # fold the delta dictionaries too, so _refresh_meta stays a
+        # bounded read no matter how long the stream runs (v1 deltas
+        # read null bytes_docid_tf -> null, same as the meta fold)
+        (
+            spark.read.schema("term string, df int, bytes_docid_tf long")
+            .parquet(f"{self.index_dir}/dictionary_deltas")
+            .groupBy("term")
+            .agg(
+                F.sum("df").cast("int").alias("df"),
+                F.sum("bytes_docid_tf").cast("long").alias("bytes_docid_tf"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{staging}/dictionary_deltas/generation={g}")
+        )
+        # docstats (v1) is a flat per-doc table: generations add no
+        # query-time merge cost, so it is left as-is
+        for table in ("segments", "dictionary_deltas"):
+            cur = f"{self.index_dir}/{table}"
+            gc = cur + ".gc"
+            os.rename(cur, gc)
+            os.rename(f"{staging}/{table}", cur)
+            shutil.rmtree(gc)
+        shutil.rmtree(staging, ignore_errors=True)
 
     def _next_doc_id(self, commits: dict) -> int:
         """Dense append-only docIDs: the end of the committed ranges."""
@@ -247,6 +348,9 @@ class IncrementalIndexer:
         meta = {
             "n_docs": n_docs,
             "avgdl": avgdl,
+            "n_terms": spark.read.parquet(
+                f"{self.index_dir}/dictionary"
+            ).count(),
             "n_shards": self.config.n_shards,
             "k1": self.config.bm25.k1,
             "b": self.config.bm25.b,
@@ -274,6 +378,7 @@ def start_incremental_index(
     order_cols=("repo", "path", "commit"),
     content_col: str = "content",
     fmt: str = "v1",
+    compact_every: int | None = None,
 ):
     """File-source streaming build: new parquet files under ``input_dir``
     are ingested exactly-once (Structured Streaming checkpointing + the
@@ -281,7 +386,7 @@ def start_incremental_index(
     the StreamingQuery. ``fmt="v2"`` writes zero-shuffle map-side
     generations (sentinels + blooms in the segment table)."""
     indexer = IncrementalIndexer(index_dir, config, order_cols, content_col,
-                                 fmt=fmt)
+                                 fmt=fmt, compact_every=compact_every)
     stream = spark.readStream.schema(schema).parquet(input_dir)
     return (
         stream.writeStream.foreachBatch(indexer.process_batch)
