@@ -401,6 +401,44 @@ def _q_bm25_snippets_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("rank", "doc_id", F.round("score", 6).alias("score"))
 
 
+def _q_bm25_snippets_inv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snippet INVARIANTS under a full oracle (round-4 gate): ranking
+    columns match the BM25 oracle, and two DuckDB-checkable facts about
+    the snippet TEXT are projected as booleans the oracle pins to TRUE:
+
+      * passages_in_content — every '…'-joined passage of the snippet,
+        with the <b> tags stripped, is a VERBATIM substring of the
+        document content (the highlighter slices content, it never
+        paraphrases; reference highlighter.h:297-453);
+      * marks_are_terms — every <b>-wrapped span equals one of the
+        query terms case-insensitively (matches come from stored
+        offset pairs of those terms' postings).
+
+    A regression in passage slicing or offset bookkeeping flips a
+    boolean and fails the hash compare."""
+    idx = _mapside_index(spark, sf_dir)
+    docs = _documents(spark, sf_dir)
+    terms = ["dup", "key"]
+    out = idx.search(
+        terms, k=10, is_phrase=False, return_snippets=True, docs=docs
+    )
+    joined = out.join(docs.select("doc_id", "content"), "doc_id")
+    terms_arr = "array(" + ",".join(f"'{t}'" for t in terms) + ")"
+    return joined.select(
+        "rank",
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        F.expr(
+            "forall(split(snippet, '…'), p -> "
+            "contains(content, regexp_replace(p, '<b>|</b>', '')))"
+        ).alias("passages_in_content"),
+        F.expr(
+            "forall(regexp_extract_all(snippet, '<b>(.*?)</b>', 1), "
+            f"x -> array_contains({terms_arr}, lower(x)))"
+        ).alias("marks_are_terms"),
+    )
+
+
 SNIPPET_DF_TERMS = ["table", "part", "dup", "key", "zz_no_such_term_zz"]
 
 
@@ -619,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_from_segments_mapside": _q_topk_mapside,
         "bm25_snippets": _q_bm25_snippets,
         "bm25_snippets_store": _q_bm25_snippets_store,
+        "bm25_snippets_inv": _q_bm25_snippets_inv,
         "bm25_doc_freqs": _q_bm25_doc_freqs,
         "bm25_from_querylog": _q_bm25_from_querylog,
         "multimodal_metadata": _q_multimodal_metadata,
@@ -717,6 +756,17 @@ FROM sess GROUP BY user_id, session_id
         ),
         "bm25_snippets_store": osql.bm25_topk_sql(
             ["table", "part"], k=10, params=PARAMS, is_phrase=True
+        ),
+        # the snippet invariants hold by construction, so the oracle
+        # pins literal TRUE for both booleans — the hash compare then
+        # fails iff the engine's projected invariants ever go false
+        "bm25_snippets_inv": (
+            "SELECT rank, doc_id, score, TRUE AS passages_in_content, "
+            "TRUE AS marks_are_terms FROM ("
+            + osql.bm25_topk_sql(
+                ["dup", "key"], k=10, params=PARAMS, is_phrase=False
+            )
+            + ")"
         ),
         "bm25_doc_freqs": osql.doc_freqs_sql(SNIPPET_DF_TERMS),
         "bm25_from_querylog": _querylog_oracle_sql(),

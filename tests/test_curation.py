@@ -178,6 +178,18 @@ def test_lsh_index_partition_pruned_probe(spark, tmp_path):
     got = [r["vec_id"] for r in out.collect()]
     assert got[0] == 0  # the query vector itself survives its own bucket
     assert len(set(got) & set(range(21))) >= 7  # clustered recall via OR-tables
+    # write-time recall gate: measured recall@10 vs brute force rides
+    # in lsh.json. This corpus is 90% UNclustered vectors and the
+    # spread-sampled queries land mostly on them — sign-LSH's honest
+    # weak regime (random points rarely share all sign bits with their
+    # true neighbors), so the recorded number is LOW by design; the
+    # gate pins that it is recorded and non-degenerate here, and the
+    # >=0.9 clustered-regime floor lives in the IVF-corpus test below.
+    import json
+
+    rec = json.load(open(f"{d}/lsh.json"))["recall"]
+    assert rec["k"] == 10 and rec["n_queries"] == 8
+    assert rec["recall_at_k"] >= 0.35, rec
     plan = out._jdf.queryExecution().executedPlan().toString()
     scan = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert scan and any(
@@ -214,6 +226,19 @@ def test_ivf_cell_balance_on_clustered_corpus(spark, tmp_path):
     meta = json.load(open(f"{d_spread}/ivf.json"))
     counts = sorted(int(n) for n in meta["cell_counts"].values())
     assert sum(counts) == 400
+    # write-time recall gate: measured recall@10 at nprobe=4 rides in
+    # ivf.json, with a floor on this clustered corpus
+    rec = meta["recall"]
+    assert rec["k"] == 10 and rec["nprobe"] == 4 and rec["n_queries"] == 8
+    assert rec["recall_at_k"] >= 0.9, rec
+    # LSH on the SAME fully-clustered corpus: every query's neighbors
+    # share its cluster -> the OR-tables recover them; floor 0.9
+    from wiser_spark.operators.similarity import write_lsh_index
+
+    d_lsh = str(tmp_path / "lsh_clustered")
+    write_lsh_index(emb, d_lsh, n_planes=4, n_tables=3)
+    rec_lsh = json.load(open(f"{d_lsh}/lsh.json"))["recall"]
+    assert rec_lsh["recall_at_k"] >= 0.9, rec_lsh
     # every natural cluster got at least one centroid (spread sampling)
     clusters_hit = {cid // 100 for cid in meta["centroid_ids"]}
     assert clusters_hit == {0, 1, 2, 3}, meta["centroid_ids"]
