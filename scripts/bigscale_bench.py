@@ -1,0 +1,204 @@
+"""Absolute-scale evidence run (round-4 item 1): the resumable batched
+map-side build + warm query suite + search_batch at >= 20M docs — the
+reference's own corpus scale (20M wiki docs, ``tools/indexer.py:45-47``),
+where fixed overheads stop dominating and the block-max end-to-end win
+is measurable (not just the kernel microbench).
+
+Run via spark-submit (driver memory MUST be the flag, not builder conf):
+
+  spark-submit --master local[32] --driver-memory 48g \
+      --py-files /tmp/wiser_spark.zip scripts/bigscale_bench.py \
+      --cpus 32 --mult 4000 --batches 12 --out BENCH/bigscale_32.json
+
+The corpus is the sf0.1 documents table replicated --mult times with a
+VARIED tail token per replica (so tf distributions keep the base
+corpus's per-doc variety and the vocabulary grows — a replica-flat
+corpus would make every block-max bound tie and the scorer would
+correctly refuse to fire). Build path = build_index_mapside_batched
+(md5 slices through the exactly-once commit log, corpus staged once)
++ compact_index into a single generation — the steady state a
+long-running ingest reaches, and the eligibility state of the
+conjunction block-max scorer.
+
+Per query the suite is timed twice: with the decode-strategy gates
+DISABLED (full-decode generic path) and with the default gates
+(partial decode + single-term and conjunction block-max), so the
+end-to-end block-max delta at this scale is a reported number.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, required=True)
+    ap.add_argument("--mult", type=int, default=4000)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--n-shards", type=int, default=128)
+    ap.add_argument("--batches", type=int, default=12)
+    ap.add_argument("--query-reps", type=int, default=3)
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.cpus}]")
+        .appName(f"wiser-bigscale-{args.cpus}")
+        .config("spark.sql.shuffle.partitions", str(args.cpus * 2))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import wiser_spark.operators.segments as segmod
+    from __spark_entry__ import BM25_QUERIES, PARAMS
+    from wiser_spark.config import IndexConfig
+    from wiser_spark.operators.segments import SegmentIndex
+    from wiser_spark.plans.build import build_index_mapside_batched
+
+    base = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+    # varied-tail replication: doc_key is the deterministic total order
+    # the batched build sorts on; rep token varies content per replica
+    source = (
+        base.select("doc_id", F.col("text").alias("content"))
+        .withColumn(
+            "rep", F.explode(F.sequence(F.lit(0), F.lit(args.mult - 1)))
+        )
+        .select(
+            F.format_string(
+                "%012d", F.col("doc_id") * args.mult + F.col("rep")
+            ).alias("doc_key"),
+            F.concat(
+                F.col("content"), F.lit(" rep"), F.col("rep").cast("string")
+            ).alias("content"),
+        )
+    )
+    n_docs = 5000 * args.mult
+
+    work = tempfile.mkdtemp(prefix=f"wiser_bigscale_{args.cpus}_")
+    gen_dir = os.path.join(work, "gens")
+    idx_dir = os.path.join(work, "idx")
+    result: dict = {
+        "cpus": args.cpus,
+        "n_docs": n_docs,
+        "n_batches": args.batches,
+        "n_shards": args.n_shards,
+    }
+    try:
+        t0 = time.perf_counter()
+        manifest = build_index_mapside_batched(
+            spark, source, gen_dir,
+            IndexConfig(bm25=PARAMS, n_shards=args.n_shards),
+            n_batches=args.batches, order_cols=("doc_key",),
+        )
+        build_sec = time.perf_counter() - t0
+        from wiser_spark.operators.segments import compact_index
+
+        t0 = time.perf_counter()
+        compact_index(spark, gen_dir, idx_dir)
+        compact_sec = time.perf_counter() - t0
+        total = build_sec + compact_sec
+        # per-batch wall times from the manifest lineage; staging the
+        # bucketed corpus + the final dictionary fold are the remainder
+        batch_secs = [
+            round(e.wall_s, 2)
+            for name, e in sorted(manifest.entries.items())
+            if name.startswith("batch_")
+        ]
+        result.update(
+            {
+                "build_total_sec": round(total, 2),
+                "docs_per_sec": round(n_docs / total, 1),
+                "docs_per_sec_precompact": round(n_docs / build_sec, 1),
+                "stage_batches_sec": round(sum(batch_secs), 2),
+                "stage_stage_plus_refresh_sec": round(
+                    build_sec - sum(batch_secs), 2
+                ),
+                "stage_compact_sec": round(compact_sec, 2),
+                "per_batch_sec": batch_secs,
+            }
+        )
+
+        idx = SegmentIndex(spark, idx_dir)
+        idx.segments = idx.segments.cache()
+        idx.segments.count()
+        t0 = time.perf_counter()
+        idx.warmup()
+        result["dict_warmup_sec"] = round(time.perf_counter() - t0, 3)
+
+        def run_suite(tag: str, record_lat: bool):
+            lat = []
+            per_q = {}
+            for name, (terms, is_phrase) in BM25_QUERIES.items():
+                for rep in range(args.query_reps):
+                    t0 = time.perf_counter()
+                    idx.search(terms, k=10, is_phrase=is_phrase).collect()
+                    dt = time.perf_counter() - t0
+                    if rep > 0:
+                        lat.append(dt)
+                    if rep == args.query_reps - 1:
+                        per_q[name] = round(dt, 3)
+            lat.sort()
+            result[f"queries_warm_{tag}"] = per_q
+            if record_lat and lat:
+                result[f"warm_p50_{tag}"] = round(lat[len(lat) // 2], 3)
+                result[f"warm_p99_{tag}"] = round(
+                    lat[max(0, int(len(lat) * 0.99) - 1)], 3
+                )
+
+        # generic full-decode path first (gates disabled), then the
+        # default gates — same cache state order for both treatments
+        # (the generic pass leaves `decoded` caches per task, but each
+        # query is a fresh job; segment parquet cache is shared)
+        saved = segmod.PARTIAL_DECODE_MIN_PAGES
+        segmod.PARTIAL_DECODE_MIN_PAGES = 1 << 40
+        run_suite("generic", record_lat=True)
+        segmod.PARTIAL_DECODE_MIN_PAGES = saved
+        run_suite("blockmax", record_lat=True)
+
+        # the QPS path: whole 21-query log in one shard pass
+        batch = [
+            (i * 10 + j, terms, ph)
+            for j in range(3)
+            for i, (terms, ph) in enumerate(BM25_QUERIES.values())
+        ]
+        idx.search_batch(batch, k=10).count()  # warm the code path
+        t0 = time.perf_counter()
+        nres = idx.search_batch(batch, k=10).count()
+        dt = time.perf_counter() - t0
+        result.update(
+            {
+                "batch_queries": len(batch),
+                "batch_rows": nres,
+                "batch_sec": round(dt, 3),
+                "batch_qps": round(len(batch) / dt, 2),
+            }
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    line = json.dumps(result)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    main()
