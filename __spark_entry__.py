@@ -296,7 +296,8 @@ def _lsh_index(spark, sf_dir, n_planes=8, n_tables=2):
         tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
         d = f"{tempfile.gettempdir()}/wiser_lsh_idx_{tag}"
         write_lsh_index(
-            _embeddings(spark, sf_dir), d, n_planes=n_planes, n_tables=n_tables
+            _embeddings(spark, sf_dir), d, n_planes=n_planes,
+            n_tables=n_tables, recall_queries=8,  # recall@10 in lsh.json
         )
         _LSH_IDX_CACHE[sf_dir] = d
     return _LSH_IDX_CACHE[sf_dir]
@@ -316,7 +317,10 @@ def _q_ann_ivf_topk(spark, sf_dir):
     if sf_dir not in _IVF_IDX_CACHE:
         tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
         d = f"{tempfile.gettempdir()}/wiser_ivf_idx_{tag}"
-        write_ivf_index(_embeddings(spark, sf_dir), d, n_centroids=16)
+        write_ivf_index(
+            _embeddings(spark, sf_dir), d, n_centroids=16,
+            recall_queries=8,  # recall@10 at nprobe=4 in ivf.json
+        )
         _IVF_IDX_CACHE[sf_dir] = d
     return ivf_topk(
         spark, _IVF_IDX_CACHE[sf_dir], _query_vec(spark, sf_dir), k=10, nprobe=4
@@ -347,7 +351,7 @@ def _mapside_index(spark: SparkSession, sf_dir: str):
 
     if sf_dir not in _MAPSIDE_IDX_CACHE:
         tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
-        index_dir = f"{tempfile.gettempdir()}/wiser_entry_idx_v3_{tag}"
+        index_dir = f"{tempfile.gettempdir()}/wiser_entry_idx_v4_{tag}"
         write_index_mapside(
             _documents(spark, sf_dir), index_dir,
             IndexConfig(bm25=PARAMS, n_shards=4),

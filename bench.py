@@ -214,6 +214,33 @@ def main() -> None:
     except Exception as ex:  # never let the extra break the headline JSON
         bmx = {"blockmax_bench_err": str(ex)[:120]}
 
+    # absolute-scale evidence (>= 20M docs, the reference's own corpus
+    # scale) is produced by scripts/bigscale_bench.py and committed
+    # under BENCH/ — too long for the per-round driver run, so the
+    # RECORDED numbers are surfaced here, clearly marked as such
+    bigscale: dict = {}
+    try:
+        bs_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH", "bigscale_32_20m.json",
+        )
+        with open(bs_path) as f:
+            bs = json.load(f)
+        bigscale = {
+            "recorded_from": "BENCH/bigscale_32_20m.json (see BENCH/BASELINE.md)",
+            "n_docs": bs["n_docs"],
+            "cpus": bs["cpus"],
+            "build_docs_per_sec": bs["docs_per_sec_precompact"],
+            "build_plus_compact_docs_per_sec": bs["docs_per_sec"],
+            "warm_p50_sec": bs["warm_p50_blockmax"],
+            "warm_p99_sec": bs["warm_p99_blockmax"],
+            "warm_p50_no_blockmax_sec": bs["warm_p50_generic"],
+            "warm_p99_no_blockmax_sec": bs["warm_p99_generic"],
+            "batch_qps": bs["batch_qps"],
+        }
+    except (OSError, KeyError, json.JSONDecodeError):
+        pass
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "index_build_plus_bm25_query_suite",
@@ -241,6 +268,7 @@ def main() -> None:
         "sf1_warm_p99_sec": sf1["p99"],
         "sf1_dict_warmup_sec": sf1["dict_warmup"],
         **bmx,
+        **({"bigscale_20m_recorded": bigscale} if bigscale else {}),
         "cpus": cpus,
     }
     print(json.dumps(result))

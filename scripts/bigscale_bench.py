@@ -112,11 +112,12 @@ def main() -> None:
         total = build_sec + compact_sec
         # per-batch wall times from the manifest lineage; staging the
         # bucketed corpus + the final dictionary fold are the remainder
-        batch_secs = [
-            round(e.wall_s, 2)
-            for name, e in sorted(manifest.entries.items())
+        batch_items = [
+            (int(name.rsplit("_", 1)[1]), e)
+            for name, e in manifest.entries.items()
             if name.startswith("batch_")
         ]
+        batch_secs = [round(e.wall_s, 2) for _, e in sorted(batch_items)]
         result.update(
             {
                 "build_total_sec": round(total, 2),

@@ -173,7 +173,7 @@ def test_lsh_index_partition_pruned_probe(spark, tmp_path):
     rows += [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(21, 200)]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     d = str(tmp_path / "lsh")
-    write_lsh_index(emb, d, n_planes=4, n_tables=3)
+    write_lsh_index(emb, d, n_planes=4, n_tables=3, recall_queries=8)
     out = lsh_topk_indexed(spark, d, q, k=10)
     got = [r["vec_id"] for r in out.collect()]
     assert got[0] == 0  # the query vector itself survives its own bucket
@@ -222,7 +222,7 @@ def test_ivf_cell_balance_on_clustered_corpus(spark, tmp_path):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
 
     d_spread = str(tmp_path / "ivf_spread")
-    write_ivf_index(emb, d_spread, n_centroids=16)
+    write_ivf_index(emb, d_spread, n_centroids=16, recall_queries=8)
     meta = json.load(open(f"{d_spread}/ivf.json"))
     counts = sorted(int(n) for n in meta["cell_counts"].values())
     assert sum(counts) == 400
@@ -236,7 +236,8 @@ def test_ivf_cell_balance_on_clustered_corpus(spark, tmp_path):
     from wiser_spark.operators.similarity import write_lsh_index
 
     d_lsh = str(tmp_path / "lsh_clustered")
-    write_lsh_index(emb, d_lsh, n_planes=4, n_tables=3)
+    write_lsh_index(emb, d_lsh, n_planes=4, n_tables=3,
+                    recall_queries=8)
     rec_lsh = json.load(open(f"{d_lsh}/lsh.json"))["recall"]
     assert rec_lsh["recall_at_k"] >= 0.9, rec_lsh
     # every natural cluster got at least one centroid (spread sampling)

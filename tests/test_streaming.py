@@ -244,11 +244,14 @@ def test_resume_with_other_format_refuses(tmp_path):
         IncrementalIndexer(d, fmt="v1")
 
 
-def test_auto_compaction_tiered_trigger(spark, tmp_path, oracle):
+def test_auto_compaction_tiered_trigger(spark, tmp_path, oracle,
+                                        monkeypatch):
     """A 20-generation v2 stream with compact_every=6 compacts
     automatically (generation count never exceeds the tier after a
-    commit), answers the BM25 suite rank-identically to an UNCOMPACTED
-    twin fed the same batches, and heals an interrupted swap."""
+    commit; merges are SIZE-TIERED — smallest generations first),
+    answers the BM25 suite rank-identically to an UNCOMPACTED twin fed
+    the same batches, and a torn mid-swap state (journal written,
+    swap not applied) self-heals from the READ path."""
     from wiser_spark.streaming.incremental import IncrementalIndexer
 
     rows = make_corpus(200)
@@ -278,19 +281,24 @@ def test_auto_compaction_tiered_trigger(spark, tmp_path, oracle):
         got_p = [tuple(r) for r in
                  idx_p.search(terms, k=10, is_phrase=ph).collect()]
         assert got_a == got_p, (terms, ph)
-    # interrupted swap: live table gone, backup present -> rolls back
-    os.rename(f"{d_auto}/segments", f"{d_auto}/segments.gc")
-    ix_auto._recover_compaction()
-    assert os.path.exists(f"{d_auto}/segments")
-    assert not os.path.exists(f"{d_auto}/segments.gc")
-    # completed swap leftover: backup beside live table -> dropped
-    import shutil as _sh
+    # torn swap: stage + journal a merge of the two oldest remaining
+    # generations, but "crash" before the swap applies (journal on
+    # disk, generation dirs untouched). A plain SegmentIndex LOAD must
+    # roll the journal forward and answer identically.
+    import wiser_spark.streaming.incremental as incmod
 
-    _sh.copytree(f"{d_auto}/segments", f"{d_auto}/segments.gc")
-    ix_auto._recover_compaction()
-    assert not os.path.exists(f"{d_auto}/segments.gc")
+    gens_before = ix_auto._generations()
+    monkeypatch.setattr(incmod, "_apply_compaction_journal",
+                        lambda *_: None)
+    ix_auto.compact_generations(spark, gens_before[:2])
+    monkeypatch.undo()
+    assert os.path.exists(f"{d_auto}/compaction.json")  # torn state
+    assert ix_auto._generations() == gens_before        # swap not applied
+    idx_healed = SegmentIndex(spark, d_auto)            # read-path heal
+    assert not os.path.exists(f"{d_auto}/compaction.json")
+    assert len(ix_auto._generations()) == len(gens_before) - 1
     got = [tuple(r) for r in
-           idx_a.search(["return", "import"], k=10).collect()]
+           idx_healed.search(["return", "import"], k=10).collect()]
     want = [tuple(r) for r in
             idx_p.search(["return", "import"], k=10).collect()]
     assert got == want

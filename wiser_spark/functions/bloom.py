@@ -57,6 +57,13 @@ class BloomParams(NamedTuple):
     hashes: int
     entries: int
     ratio: float
+    # bit-placement hash FAMILY, part of the on-disk contract: "dh" =
+    # plain double hashing (every index written before round 4), "edh"
+    # = enhanced double hashing (the round-4+ default). The default
+    # here is "dh" ON PURPOSE: BloomParams(**meta["bloom"]) from an
+    # older stats.json (which predates the field) must reconstruct the
+    # family those masks were WRITTEN with, or probes false-negative.
+    family: str = "dh"
 
 
 def bloom_params(entries: int = 5, ratio: float = 0.0009) -> BloomParams:
@@ -72,7 +79,7 @@ def bloom_params(entries: int = 5, ratio: float = 0.0009) -> BloomParams:
     bits = int(entries * bpe)
     nbytes = bits // 8 + (1 if bits % 8 else 0)
     hashes = int(math.ceil(_LN2 * bpe))
-    return BloomParams(bits, nbytes, hashes, entries, ratio)
+    return BloomParams(bits, nbytes, hashes, entries, ratio, "edh")
 
 
 def token_bloom_mask(term: str, bp: BloomParams) -> np.ndarray:
@@ -80,19 +87,25 @@ def token_bloom_mask(term: str, bp: BloomParams) -> np.ndarray:
     bit_i = (a + i*b) mod bits, LSB-first within each byte."""
     h = hashlib.md5(term.encode()).digest()
     a = int.from_bytes(h[0:8], "little")
-    # ENHANCED double hashing (Dillinger & Manolios 2004): bit_i =
-    # (a + i*b + (i^3 - i)/6) mod bits. Plain double hashing needs the
-    # stride coprime with bits to avoid short orbits; at the composite
-    # ratio=0.0009 sizing (bits=72, phi(72)=24) only a third of strides
-    # qualify and stride COLLISIONS between probe and member terms
-    # degenerate the FP rate. The cubic increment breaks the shared-
-    # progression structure for ANY modulus — measured FP returns to
-    # the ~ratio ballpark (pinned by the prune-rate test). The family
-    # is not part of the on-disk contract; what is (and is tested) is
-    # set/probe mask identity and no false negatives.
+    # Family "edh" — ENHANCED double hashing (Dillinger & Manolios
+    # 2004): bit_i = (a + i*b + (i^3 - i)/6) mod bits. Plain double
+    # hashing needs the stride coprime with bits to avoid short orbits;
+    # at the composite ratio=0.0009 sizing (bits=72, phi(72)=24) only a
+    # third of strides qualify and stride COLLISIONS between probe and
+    # member terms degenerate the FP rate. The cubic increment breaks
+    # the shared-progression structure for ANY modulus — measured FP
+    # returns to the ~ratio ballpark (pinned by the prune-rate test).
+    # Family "dh" — the pre-round-4 plain progression, kept verbatim so
+    # indexes whose stats.json predates the family field still probe
+    # the masks they stored (the family IS part of the on-disk
+    # contract; stats.json records it via BloomParams._asdict()).
     b = 1 + int.from_bytes(h[8:16], "little") % (bp.bits - 1)
     i_arr = np.arange(bp.hashes, dtype=np.uint64)
-    incr = (i_arr * (i_arr * i_arr - 1) // np.uint64(6)) % np.uint64(bp.bits)
+    incr = (
+        (i_arr * (i_arr * i_arr - 1) // np.uint64(6)) % np.uint64(bp.bits)
+        if bp.family == "edh"
+        else np.zeros(bp.hashes, dtype=np.uint64)
+    )
     idx = (
         (np.uint64(a) + i_arr * np.uint64(b) + incr) % np.uint64(bp.bits)
     ).astype(np.int64)
@@ -111,9 +124,13 @@ def vocab_bloom_matrix(uniques, bp: BloomParams) -> np.ndarray:
     digests = b"".join(hashlib.md5(t.encode()).digest() for t in uniques)
     ab = np.frombuffer(digests, dtype="<u8").reshape(v, 2)
     b = (ab[:, 1] % np.uint64(bp.bits - 1)) + np.uint64(1)
-    # enhanced double hashing, identical to token_bloom_mask's formula
+    # same family dispatch as token_bloom_mask, formula-identical
     i_arr = np.arange(bp.hashes, dtype=np.uint64)
-    incr = (i_arr * (i_arr * i_arr - 1) // np.uint64(6)) % np.uint64(bp.bits)
+    incr = (
+        (i_arr * (i_arr * i_arr - 1) // np.uint64(6)) % np.uint64(bp.bits)
+        if bp.family == "edh"
+        else np.zeros(bp.hashes, dtype=np.uint64)
+    )
     idx = (
         (ab[:, 0][:, None] + i_arr[None, :] * b[:, None] + incr[None, :])
         % np.uint64(bp.bits)

@@ -74,7 +74,13 @@ def _codec_fns(codec: str):
 
 
 def default_codec() -> str:
-    """lz4 when importable (the reference's codec), else zlib."""
+    """lz4 when importable (the reference's codec), else zlib.
+
+    NOTE the portability trade: the default follows the WRITER's
+    environment, so a store written where lz4 is installed needs lz4
+    on the readers too (fetch_docs fails loudly, never silently).
+    Fleets with heterogeneous environments should pass an explicit
+    ``codec="zlib"`` (always available) to write_doc_store."""
     try:
         import lz4.frame  # noqa: F401
 

@@ -50,8 +50,15 @@ def build_segments_mapside(
     content_col: str = "content",
     reuse_partitions: bool = False,
     with_blooms: bool = True,
+    bloom_cfg=None,
 ) -> DataFrame:
     """docs (doc_id, content) -> segment rows + one sentinel per shard.
+
+    ``bloom_cfg`` (a BloomParams) pins the bloom sizing AND hash
+    family — a sink appending generations to an EXISTING index must
+    pass the index's recorded params or the new generations' masks
+    would not match the probe side (None = current defaults, right for
+    fresh builds).
 
     With ``reuse_partitions=True`` the INPUT partitioning is the
     sharding (shard correctness only needs each doc's postings in one
@@ -77,7 +84,7 @@ def build_segments_mapside(
 
         yield from encode_doc_batches(
             arrow_batches, TaskContext.get().partitionId(),
-            content_col, with_blooms,
+            content_col, with_blooms, bloom_cfg,
         )
 
     return parted.mapInArrow(
@@ -86,7 +93,8 @@ def build_segments_mapside(
 
 
 def encode_doc_batches(
-    arrow_batches, shard_id: int, content_col: str, with_blooms: bool
+    arrow_batches, shard_id: int, content_col: str, with_blooms: bool,
+    bloom_cfg=None,
 ) -> Iterator[pd.DataFrame]:
     """One shard's Arrow batches -> segment-row DataFrames. Module-level
     (not a closure) so it can be profiled/driven without a Spark task."""
@@ -243,7 +251,7 @@ def encode_doc_batches(
             vocab_bloom_matrix,
         )
 
-        bp = bloom_params()
+        bp = bloom_cfg or bloom_params()
         vocab_masks = vocab_bloom_matrix(uniques, bp)
         # row V is an all-zero mask: occurrences with no neighbor
         # (nxt/prv == -1) gather it — one fancy index, no multiply pass

@@ -520,7 +520,8 @@ def _decode_term_selective(rows, cand, bag_cache: dict | None = None):
 
 
 def _topk_blockmax_single(rows, k, idf_t, cache, k1, codes_for,
-                          prune_fallback: bool = True):
+                          prune_fallback: bool = True,
+                          bag_cache: dict | None = None):
     """Score-neutral BLOCK-MAX top-k for a single-term query — the
     north star's "block-max-WAND-style scorer" done the way SURVEY §2.5
     mandates: exact results, block maxima used only to SKIP provably
@@ -564,9 +565,17 @@ def _topk_blockmax_single(rows, k, idf_t, cache, k1, codes_for,
             descs.append((float(bounds[b]), ri, b, cnt))
     descs.sort(key=lambda d: -d[0])
 
+    # decoded bags go through the shard's shared per-term bag cache (if
+    # given): a term used by BOTH a single-term and a multi-term query
+    # in one batch then decodes each bag at most once across the batch
+    bc = bag_cache if bag_cache is not None else {}
+
     def decode_bag(ri, b, cnt):
         r, pre, n, n_bags = ctx[ri]
-        return _decode_bag(r, b, pre, n, n_bags)
+        key = (ri, b if n_bags > 1 else 0)
+        if key not in bc:
+            bc[key] = _decode_bag(r, b, pre, n, n_bags)
+        return bc[key]
 
     ids_parts: list = []
     score_parts: list = []
@@ -1176,6 +1185,13 @@ class SegmentIndex:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
+        # a streaming index whose auto-compaction crashed mid-swap
+        # self-heals here (journal rolls forward) before any table
+        # read — readers must not depend on the next micro-batch for
+        # recovery (lazy import: incremental imports this module)
+        from wiser_spark.streaming.incremental import recover_compaction
+
+        recover_compaction(index_dir)
         with open(f"{index_dir}/stats.json") as f:
             self.meta = json.load(f)
         self.params = BM25Params(k1=self.meta["k1"], b=self.meta["b"])
@@ -1235,6 +1251,12 @@ class SegmentIndex:
         query (vacuum_engine.h:119-142). Call once after __init__ in
         latency-sensitive serving; idempotent."""
         self._dict_lookup([])
+        if self._dict_mem is None:
+            # vocabulary over the driver-cache cap: lookups stay
+            # distributed filters, so materialize the CACHED dictionary
+            # DataFrame here instead — otherwise the first query pays
+            # the parquet scan + cache fill this method exists to move
+            self.dictionary.count()
         return self
 
     def _dict_lookup(self, terms: list[str]) -> dict:
@@ -1397,7 +1419,8 @@ class SegmentIndex:
                 ):
                     t0 = terms_l[0]
                     bm = _topk_blockmax_single(
-                        rows_by_term[t0], k, idfs[t0], cache, k1, codes_for
+                        rows_by_term[t0], k, idfs[t0], cache, k1, codes_for,
+                        bag_cache=bag_caches.setdefault(t0, {}),
                     )
                     if bm is not None:
                         winners, wscores = bm

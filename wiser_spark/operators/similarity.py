@@ -146,15 +146,17 @@ def write_lsh_index(
     n_planes: int = 8,
     n_tables: int = 2,
     dim: int | None = None,
-    recall_queries: int = 8,
+    recall_queries: int = 0,
 ) -> None:
     """Persist the multi-table sign-LSH index: parquet PARTITIONED BY
     (tbl, bucket), so a query probes its n_tables buckets through
     partition pruning instead of rescanning and re-hashing every vector.
     This is the scale path the round-1 query-time variant lacked.
     ``recall_queries`` > 0 measures recall@10 vs brute force on that
-    many spread-sampled queries and records it in lsh.json (0 skips —
-    huge builds measure on a sample table instead)."""
+    many spread-sampled queries and records it in lsh.json. It is
+    OPT-IN (default 0): each query costs one exact scan of the table,
+    which is fine on a validation sample but not as a surprise default
+    on the 100 TB builds these indexes exist for."""
     import json
     import os
 
@@ -230,7 +232,7 @@ def write_ivf_index(
     index_dir: str,
     n_centroids: int = 16,
     centroid_ids: list[int] | None = None,
-    recall_queries: int = 8,
+    recall_queries: int = 0,
 ) -> None:
     """Persist an IVF-flat index: every vector assigned to its nearest
     (max-cosine) centroid CELL, parquet PARTITIONED BY cell.
@@ -255,8 +257,10 @@ def write_ivf_index(
     cost from O(N) into O(probed cells). Assignment ties break on the
     lower centroid id (rank over (cosine desc, cid asc)) on both
     engines. ``recall_queries`` > 0 measures recall@10 vs brute force
-    on that many spread-sampled queries and records it in ivf.json
-    (0 skips — huge builds measure on a sample table instead)."""
+    on that many spread-sampled queries and records it in ivf.json. It
+    is OPT-IN (default 0): each query costs one exact scan of the
+    table, which is fine on a validation sample but not as a surprise
+    default on the 100 TB builds these indexes exist for."""
     import json
     import os
 

@@ -48,6 +48,50 @@ from wiser_spark.operators.segments import build_segments, prefetch_pages_col
 _TABLES = ("segments", "docstats", "dictionary_deltas")
 
 
+def _apply_compaction_journal(index_dir: str, journal: dict) -> None:
+    """Apply (or re-apply) a journalled compaction swap. IDEMPOTENT:
+    every step checks before acting, so a crash at any point is healed
+    by running it again — remove the merged-away generation dirs, move
+    each staged dir in as generation=<target>, drop the journal."""
+    target = int(journal["target"])
+    staging = journal["staging"]
+    for table in journal["tables"]:
+        for g in journal["remove"]:
+            d = f"{index_dir}/{table}/generation={g}"
+            if int(g) != target and os.path.isdir(d):
+                shutil.rmtree(d)
+        src = f"{staging}/{table}"
+        dst = f"{index_dir}/{table}/generation={target}"
+        if os.path.isdir(src):
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(src, dst)
+    jpath = f"{index_dir}/compaction.json"
+    if os.path.exists(jpath):
+        os.remove(jpath)
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def recover_compaction(index_dir: str, sweep: bool = False) -> None:
+    """Heal a compaction interrupted mid-swap by ROLLING IT FORWARD
+    from the journal (the staged merged data is durable before the
+    journal exists — see IncrementalIndexer.compact_generations). A
+    missing journal means nothing to do. Called from every
+    process_batch AND from SegmentIndex load, so offline readers of a
+    crashed stream's index self-heal too. ``sweep`` additionally clears
+    dead staging files from a pre-journal crash — only the WRITER
+    passes it (a reader must not delete another process's in-flight
+    staging; single-writer is the sink's contract)."""
+    jpath = f"{index_dir}/compaction.json"
+    if os.path.exists(jpath):
+        with open(jpath) as f:
+            journal = json.load(f)
+        _apply_compaction_journal(index_dir, journal)
+    elif sweep:
+        shutil.rmtree(f"{index_dir}/_staging/compact", ignore_errors=True)
+
+
 class IncrementalIndexer:
     """foreachBatch sink: appends one segment generation per micro-batch,
     idempotently (see module docstring)."""
@@ -84,9 +128,10 @@ class IncrementalIndexer:
         # contribute zero to the v2 avgdl fold) — refuse loudly
         try:
             with open(f"{index_dir}/stats.json") as f:
-                existing = json.load(f).get("format", "")
+                _meta = json.load(f)
+            existing = _meta.get("format", "")
         except (FileNotFoundError, json.JSONDecodeError):
-            existing = ""
+            _meta, existing = {}, ""
         if existing and not existing.startswith(f"wiser-spark-segment-{fmt}"):
             raise ValueError(
                 f"index at {index_dir!r} has format {existing!r}; "
@@ -99,6 +144,15 @@ class IncrementalIndexer:
         self.fmt = fmt
         self.with_blooms = with_blooms
         self.compact_every = compact_every
+        # appending to an EXISTING index must keep encoding blooms with
+        # the RECORDED sizing + hash family (stats.json), or the new
+        # generations' masks would not match the probe side; a meta
+        # that predates the family field reconstructs as the old "dh"
+        # family via the BloomParams default
+        from wiser_spark.functions.bloom import BloomParams
+
+        b = _meta.get("bloom")
+        self.bloom_cfg = BloomParams(**b) if b else None
 
     # ------------------------------------------------------- commit log
     @property
@@ -167,7 +221,7 @@ class IncrementalIndexer:
 
             segs = build_segments_mapside(
                 docs, self.config.n_shards, self.content_col,
-                with_blooms=self.with_blooms,
+                with_blooms=self.with_blooms, bloom_cfg=self.bloom_cfg,
             )
             segs.write.mode("overwrite").partitionBy("shard_id").parquet(
                 f"{staging}/segments"
@@ -238,47 +292,101 @@ class IncrementalIndexer:
         except FileNotFoundError:
             return []
 
+    def _gen_bytes(self, table: str, g: int) -> int:
+        total = 0
+        for root, _, files in os.walk(
+            f"{self.index_dir}/{table}/generation={g}"
+        ):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+
     def _recover_compaction(self) -> None:
-        """Heal a compaction interrupted mid-swap. Per-table state
-        machine: ``<table>.gc`` holding the pre-swap data exists only
-        during the two-rename window — if the live table is present the
-        swap completed (drop the backup), if it is missing the swap was
-        interrupted (roll the backup forward... i.e. back; the
-        compaction simply retriggers later). A PARTIAL multi-table swap
-        is query-consistent either way: the dictionary fold and the
-        per-(shard, term) merge are both generation-agnostic."""
-        for table in _TABLES:
-            cur = f"{self.index_dir}/{table}"
-            gc = cur + ".gc"
-            if os.path.exists(gc):
-                if os.path.exists(cur):
-                    shutil.rmtree(gc)
-                else:
-                    os.rename(gc, cur)
-        shutil.rmtree(
-            f"{self.index_dir}/_staging/compact", ignore_errors=True
+        recover_compaction(self.index_dir, sweep=True)
+
+    def _fold_deltas(self, spark: SparkSession, gens=None) -> DataFrame:
+        """THE dictionary-deltas fold (one definition; _refresh_meta
+        folds every generation, compaction folds the merged subset).
+        v1 deltas lack bytes_docid_tf and read null -> null sums,
+        matching the meta fold's degrade."""
+        d = spark.read.schema(
+            "term string, df int, bytes_docid_tf long"
+        ).parquet(f"{self.index_dir}/dictionary_deltas")
+        if gens is not None:
+            d = d.filter(F.col("generation").isin([int(g) for g in gens]))
+        return d.groupBy("term").agg(
+            F.sum("df").cast("int").alias("df"),
+            F.sum("bytes_docid_tf").cast("long").alias("bytes_docid_tf"),
         )
 
     def _maybe_compact(self, spark: SparkSession) -> None:
+        """SIZE-TIERED trigger: when more than ``compact_every``
+        generations exist, merge the smallest ones — start from the two
+        smallest (by bytes) and absorb the next-smallest while it is
+        <= 2x the bytes already selected (the LSM/Lucene geometric
+        rule), extending further only if needed to get the count back
+        under the tier. A large, already-merged base generation is
+        re-written only when enough newer data has accumulated to rank
+        near it, so cumulative rewrite IO is O(total ingested x log)
+        rather than the quadratic cost of re-merging the whole table
+        every N batches."""
         if not self.compact_every:
             return
-        if len(self._generations()) > self.compact_every:
-            self.compact_now(spark)
+        self._recover_compaction()
+        while True:
+            gens = self._generations()
+            if len(gens) <= self.compact_every or len(gens) < 2:
+                return
+            sizes = sorted(
+                (self._gen_bytes("segments", g), g) for g in gens
+            )
+            need = len(gens) - self.compact_every  # merges needed (>=1)
+            pick = [sizes[0][1], sizes[1][1]]
+            acc = sizes[0][0] + sizes[1][0]
+            for sz, g in sizes[2:]:
+                if sz <= 2 * acc or len(pick) - 1 < need:
+                    pick.append(g)
+                    acc += sz
+                else:
+                    break
+            self.compact_generations(spark, pick)
 
     def compact_now(self, spark: SparkSession) -> None:
-        """Merge every accumulated generation into ONE, in place: the
-        streaming analogue of the reference's qq->vacuum conversion
-        (B18) run as maintenance. The merged data lands as generation
-        <max committed id> (future micro-batch ids are strictly
-        larger), each table swaps in atomically with a rollback backup
-        (see ``_recover_compaction``), and queries before/after are
-        rank-identical (pinned by test_streaming)."""
+        """Merge EVERY accumulated generation into one (full optimize —
+        the streaming analogue of the reference's qq->vacuum
+        conversion, B18). Routine maintenance should prefer the tiered
+        ``_maybe_compact`` policy; this is the explicit 'force-merge'
+        an operator runs before freezing an index."""
+        gens = self._generations()
+        if len(gens) > 1:
+            self._recover_compaction()
+            self.compact_generations(spark, gens)
+
+    def compact_generations(self, spark: SparkSession, gens) -> None:
+        """Merge the given generation dirs into ONE (the max id of the
+        subset — future micro-batch ids are strictly larger), in place,
+        crash-safely:
+
+          1. the merged segments + folded dictionary deltas are STAGED
+             outside the live table dirs;
+          2. a JOURNAL (compaction.json, atomic rename) records the
+             remove-list and the staged sources;
+          3. the swap applies (remove merged-away generation dirs, move
+             the staged dirs in), then the journal is deleted.
+
+        A crash before (2) leaves only dead staging files; a crash
+        after (2) is ROLLED FORWARD by ``recover_compaction`` — called
+        from every process_batch, every compaction, and SegmentIndex
+        load, so readers never see the torn state. Merging a SUBSET is
+        query-identical: remaining generations still merge per (shard,
+        term) at read time, and the dictionary fold is sum-associative.
+        Unmerged tables (docstats) are untouched — a flat table gains
+        nothing from fewer generations."""
+        gens = sorted(int(g) for g in gens)
+        if len(gens) < 2:
+            return
         from wiser_spark.operators.segments import compact_segments
 
-        gens = self._generations()
-        if len(gens) <= 1:
-            return
-        g = gens[-1]
+        target = gens[-1]
         staging = f"{self.index_dir}/_staging/compact"
         shutil.rmtree(staging, ignore_errors=True)
         try:
@@ -286,33 +394,29 @@ class IncrementalIndexer:
                 nbytes = (json.load(f).get("bloom") or {}).get("nbytes")
         except (FileNotFoundError, json.JSONDecodeError):
             nbytes = None
-        segs = spark.read.parquet(f"{self.index_dir}/segments")
+        segs = spark.read.parquet(f"{self.index_dir}/segments").filter(
+            F.col("generation").isin(gens)
+        )
         compact_segments(segs, nbytes).write.mode("overwrite").partitionBy(
             "shard_id"
-        ).parquet(f"{staging}/segments/generation={g}")
-        # fold the delta dictionaries too, so _refresh_meta stays a
-        # bounded read no matter how long the stream runs (v1 deltas
-        # read null bytes_docid_tf -> null, same as the meta fold)
-        (
-            spark.read.schema("term string, df int, bytes_docid_tf long")
-            .parquet(f"{self.index_dir}/dictionary_deltas")
-            .groupBy("term")
-            .agg(
-                F.sum("df").cast("int").alias("df"),
-                F.sum("bytes_docid_tf").cast("long").alias("bytes_docid_tf"),
-            )
-            .write.mode("overwrite")
-            .parquet(f"{staging}/dictionary_deltas/generation={g}")
+        ).parquet(f"{staging}/segments")
+        self._fold_deltas(spark, gens).write.mode("overwrite").parquet(
+            f"{staging}/dictionary_deltas"
         )
-        # docstats (v1) is a flat per-doc table: generations add no
-        # query-time merge cost, so it is left as-is
-        for table in ("segments", "dictionary_deltas"):
-            cur = f"{self.index_dir}/{table}"
-            gc = cur + ".gc"
-            os.rename(cur, gc)
-            os.rename(f"{staging}/{table}", cur)
-            shutil.rmtree(gc)
-        shutil.rmtree(staging, ignore_errors=True)
+        # (the QUERYABLE dictionary is refolded by _refresh_meta from
+        # all remaining deltas after the swap — same sums either way)
+        journal = {
+            "remove": gens,
+            "target": target,
+            "staging": staging,
+            "tables": ["segments", "dictionary_deltas"],
+        }
+        jpath = f"{self.index_dir}/compaction.json"
+        tmp = jpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(journal, f)
+        os.replace(tmp, jpath)  # the commit point of the swap
+        _apply_compaction_journal(self.index_dir, journal)
 
     def _next_doc_id(self, commits: dict) -> int:
         """Dense append-only docIDs: the end of the committed ranges."""
@@ -331,16 +435,11 @@ class IncrementalIndexer:
                 F.avg(F.col("doclen").cast("double")).alias("avgdl"),
             ).collect()[0]
             n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
-        # fold delta dictionaries into the queryable table; v1 deltas
+        # fold delta dictionaries into the queryable table (ONE fold
+        # definition, shared with compaction's subset fold); v1 deltas
         # lack bytes_docid_tf (reads null -> null pages -> full decode)
         (
-            spark.read.schema("term string, df int, bytes_docid_tf long")
-            .parquet(f"{self.index_dir}/dictionary_deltas")
-            .groupBy("term")
-            .agg(
-                F.sum("df").cast("int").alias("df"),
-                F.sum("bytes_docid_tf").cast("long").alias("bytes_docid_tf"),
-            )
+            self._fold_deltas(spark)
             .withColumn("prefetch_pages", prefetch_pages_col())
             .write.mode("overwrite")
             .parquet(f"{self.index_dir}/dictionary")
@@ -363,7 +462,10 @@ class IncrementalIndexer:
             if self.with_blooms:
                 from wiser_spark.functions.bloom import bloom_params
 
-                meta["bloom"] = bloom_params()._asdict()
+                # preserve the index's recorded bloom params (sizing +
+                # hash family) across refreshes; defaults only for a
+                # brand-new index
+                meta["bloom"] = (self.bloom_cfg or bloom_params())._asdict()
         with open(f"{self.index_dir}/stats.json", "w") as f:
             json.dump(meta, f, indent=1)
 
