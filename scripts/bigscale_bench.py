@@ -45,6 +45,13 @@ def main() -> None:
     ap.add_argument("--n-shards", type=int, default=128)
     ap.add_argument("--batches", type=int, default=12)
     ap.add_argument("--query-reps", type=int, default=3)
+    ap.add_argument(
+        "--build-only", action="store_true",
+        help="skip compaction and the query/batch suites — the "
+        "treatment for N-vs-4N build-scaling pairs, where a "
+        "low-core-count compaction would dominate wall-clock without "
+        "informing the scaling gate",
+    )
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -104,6 +111,29 @@ def main() -> None:
             n_batches=args.batches, order_cols=("doc_key",),
         )
         build_sec = time.perf_counter() - t0
+        if args.build_only:
+            batch_items = [
+                (int(name.rsplit("_", 1)[1]), e)
+                for name, e in manifest.entries.items()
+                if name.startswith("batch_")
+            ]
+            bsecs = [round(e.wall_s, 2) for _, e in sorted(batch_items)]
+            result.update(
+                {
+                    "build_sec": round(build_sec, 2),
+                    "docs_per_sec": round(n_docs / build_sec, 1),
+                    "stage_batches_sec": round(sum(bsecs), 2),
+                    "per_batch_sec": bsecs,
+                }
+            )
+            line = json.dumps(result)
+            print(line)
+            if args.out:
+                with open(args.out, "w") as f:
+                    f.write(line + "\n")
+            shutil.rmtree(work, ignore_errors=True)
+            spark.stop()
+            return
         from wiser_spark.operators.segments import compact_index
 
         t0 = time.perf_counter()
