@@ -169,13 +169,14 @@ def main() -> None:
         idx.warmup()
         result["dict_warmup_sec"] = round(time.perf_counter() - t0, 3)
 
-        def run_suite(tag: str, record_lat: bool):
+        def run_suite(tag: str, record_lat: bool, over=None):
+            target = over or idx
             lat = []
             per_q = {}
             for name, (terms, is_phrase) in BM25_QUERIES.items():
                 for rep in range(args.query_reps):
                     t0 = time.perf_counter()
-                    idx.search(terms, k=10, is_phrase=is_phrase).collect()
+                    target.search(terms, k=10, is_phrase=is_phrase).collect()
                     dt = time.perf_counter() - t0
                     if rep > 0:
                         lat.append(dt)
@@ -198,6 +199,20 @@ def main() -> None:
         run_suite("generic", record_lat=True)
         segmod.PARTIAL_DECODE_MIN_PAGES = saved
         run_suite("blockmax", record_lat=True)
+
+        # the UNCACHED treatment: term lookups go to parquet with the
+        # pushed `term IN (...)` filter — row-group pruning (segment
+        # files are term-sorted within each shard) instead of a full
+        # scan of a multi-GB cached table. This is the 100 TB serving
+        # regime: at that scale the segment table cannot live in
+        # executor storage memory, and the pruned-read latency is the
+        # number that transfers. The cache MUST be dropped first:
+        # Spark substitutes cached plans by logical-plan equality, so
+        # a fresh read of the same path would silently hit the cache.
+        idx.segments.unpersist(blocking=True)
+        idx_p = SegmentIndex(spark, idx_dir)
+        idx_p.warmup()
+        run_suite("pushdown", record_lat=True, over=idx_p)
 
         # the QPS path: whole 21-query log in one shard pass
         batch = [

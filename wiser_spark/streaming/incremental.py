@@ -211,11 +211,26 @@ class IncrementalIndexer:
         docs = assign_doc_ids(batch, self.order_cols, checkpoint=True).withColumn(
             "doc_id", (F.col("doc_id") + F.lit(offset)).cast("long")
         )
-        n_docs = docs.count()
         staging = f"{self.index_dir}/_staging/{batch_id}"
         lensum = None
+        obs = None
         if self.fmt == "v2":
+            # fold the batch's summed doc length into the SAME job as
+            # the count — a separate agg pass was ~a third of each
+            # batch's serial overhead in the 20M-doc scaling runs
+            from pyspark.sql import Observation
+
             from wiser_spark.functions.tokenize import doclen_col
+
+            obs = Observation(f"wiser_batch_{batch_id}")
+            docs = docs.observe(
+                obs,
+                F.sum(
+                    doclen_col(F.col(self.content_col)).cast("long")
+                ).alias("lensum"),
+            )
+        n_docs = docs.count()
+        if self.fmt == "v2":
             from wiser_spark.operators.mapside import build_segments_mapside
             from wiser_spark.operators.segments import SEGMENT_SCHEMA
 
@@ -239,13 +254,9 @@ class IncrementalIndexer:
                 "term", "df", "bytes_docid_tf"
             ).write.mode("overwrite").parquet(f"{staging}/dictionary_deltas")
             # running avgdl bookkeeping rides in the commit log (no
-            # docstats table in v2 — sentinels carry per-doc lengths)
-            lensum = int(
-                docs.agg(
-                    F.sum(doclen_col(F.col(self.content_col)).cast("long"))
-                ).collect()[0][0]
-                or 0
-            )
+            # docstats table in v2 — sentinels carry per-doc lengths);
+            # the sum was observed during the count() job above
+            lensum = int(obs.get["lensum"] or 0)
             tables = ("segments", "dictionary_deltas")
         else:
             postings = build_postings(docs, content_col=self.content_col)
