@@ -52,6 +52,14 @@ def main() -> None:
         "low-core-count compaction would dominate wall-clock without "
         "informing the scaling gate",
     )
+    ap.add_argument(
+        "--snippets", action="store_true",
+        help="the SERVING-FLOW treatment (r04 item 8): one-shot "
+        "map-side index + chunked doc store over the same corpus, then "
+        "the whole query log answered WITH snippets — winners "
+        "point-fetch through the range-coalesced store predicate — "
+        "reported as QPS next to the no-snippet batch number",
+    )
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -103,6 +111,78 @@ def main() -> None:
         "n_batches": args.batches,
         "n_shards": args.n_shards,
     }
+    if args.snippets:
+        # standalone serving-flow treatment: one-shot map-side index +
+        # doc store share ONE docID assignment, so stored content and
+        # index postings align exactly (the snippet invariant holds)
+        import time as _t
+
+        from wiser_spark.operators.docstore import write_doc_store
+        from wiser_spark.operators.mapside import write_index_mapside
+        from wiser_spark.operators.postings import assign_doc_ids
+
+        try:
+            assigned = assign_doc_ids(source, ("doc_key",))
+            docs = assigned.select("doc_id", "content")
+            t0 = time.perf_counter()
+            write_index_mapside(
+                docs, idx_dir,
+                IndexConfig(bm25=PARAMS, n_shards=args.n_shards),
+            )
+            result["build_sec"] = round(time.perf_counter() - t0, 2)
+            pinned = getattr(assigned, "_wiser_pinned", None)
+            store_dir = os.path.join(work, "store")
+            t0 = time.perf_counter()
+            write_doc_store(docs, store_dir)
+            result["store_build_sec"] = round(time.perf_counter() - t0, 2)
+            if pinned is not None:
+                pinned.unpersist()
+            import json as _json
+
+            with open(f"{store_dir}/meta.json") as f:
+                result["store_codec"] = _json.load(f)["codec"]
+            idx = SegmentIndex(spark, idx_dir)
+            idx.segments = idx.segments.cache()
+            idx.segments.count()
+            idx.warmup()
+            batch = [
+                (i * 10 + j, terms, ph)
+                for j in range(3)
+                for i, (terms, ph) in enumerate(BM25_QUERIES.values())
+            ]
+            idx.search_batch(batch, k=10).count()  # warm the code path
+            t0 = _t.perf_counter()
+            plain_rows = idx.search_batch(batch, k=10).count()
+            plain_sec = _t.perf_counter() - t0
+            t0 = _t.perf_counter()
+            snip = idx.search_batch(
+                batch, k=10, return_snippets=True, doc_store_dir=store_dir
+            ).collect()
+            snip_sec = _t.perf_counter() - t0
+            n_nonempty = sum(
+                1 for r in snip if r["snippet"] and "<b>" in r["snippet"]
+            )
+            result.update(
+                {
+                    "batch_queries": len(batch),
+                    "batch_rows": plain_rows,
+                    "batch_sec": round(plain_sec, 3),
+                    "batch_qps": round(len(batch) / plain_sec, 2),
+                    "snippets_rows": len(snip),
+                    "snippets_highlighted": n_nonempty,
+                    "snippets_sec": round(snip_sec, 3),
+                    "snippets_qps": round(len(batch) / snip_sec, 2),
+                }
+            )
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+        line = json.dumps(result)
+        print(line)
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(line + "\n")
+        spark.stop()
+        return
     try:
         t0 = time.perf_counter()
         manifest = build_index_mapside_batched(
@@ -199,6 +279,23 @@ def main() -> None:
         run_suite("generic", record_lat=True)
         segmod.PARTIAL_DECODE_MIN_PAGES = saved
         run_suite("blockmax", record_lat=True)
+
+        # the COALESCED-SCAN treatment (r04 item 5): same cached index,
+        # segments coalesced to ~2x cores before caching — the
+        # interactive-single-query knob (scan task count stops paying
+        # one task per (shard, file)); rank identity is asserted
+        idx_c = SegmentIndex(spark, idx_dir, scan_coalesce=args.cpus * 2)
+        idx_c.segments = idx_c.segments.cache()
+        idx_c.segments.count()
+        idx_c.warmup()
+        name0, (t0_terms, t0_ph) = next(iter(BM25_QUERIES.items()))
+        a = [tuple(r) for r in
+             idx.search(t0_terms, k=10, is_phrase=t0_ph).collect()]
+        b = [tuple(r) for r in
+             idx_c.search(t0_terms, k=10, is_phrase=t0_ph).collect()]
+        assert a == b, "coalesced scan changed results"
+        run_suite("blockmax_coalesced", record_lat=True, over=idx_c)
+        idx_c.segments.unpersist(blocking=True)
 
         # the UNCACHED treatment: term lookups go to parquet with the
         # pushed `term IN (...)` filter — row-group pruning (segment

@@ -320,8 +320,9 @@ def test_blockmax_conj_other_term_bound_drives_skip(spark, cache):
 
 
 def test_blockmax_conj_fallbacks(spark, cache):
-    """None on: legacy rows (no skip_max_tfs), multi-generation terms,
-    tiny leads, and flat-tf corpora (budget projection)."""
+    """None on: legacy rows (no skip_max_tfs), tiny leads, and flat-tf
+    corpora (budget projection). Multi-generation terms are ELIGIBLE
+    since round 5 — covered by the multigeneration tests below."""
     from wiser_spark.operators.segments import _topk_blockmax_conj
 
     idfs = {"a": 1.0, "b": 1.0}
@@ -340,17 +341,351 @@ def test_blockmax_conj_fallbacks(spark, cache):
         {"a": [seg_a], "b": [legacy]}, ["a", "b"], 10, idfs, cache, K1,
         codes_for, {},
     ) is None
-    # multi-generation term
-    assert _topk_blockmax_conj(
-        {"a": [seg_a], "b": [seg_b, seg_b]}, ["a", "b"], 10, idfs, cache,
-        K1, codes_for, {},
-    ) is None
     # tiny lead (< 4 bags)
     tiny = _mk_term_row(spark, "t", [(d, 5) for d in range(40)])
     assert _topk_blockmax_conj(
         {"t": [tiny], "b": [seg_b]}, ["t", "b"], 10, idfs, cache, K1,
         codes_for, {},
     ) is None
+
+
+# ------------------------------------------------------ multi-generation
+def _split_gens(spark, term, doc_tfs, cuts):
+    """The same postings split into generation rows at the given docID
+    cuts — the shape of an uncompacted streaming index."""
+    rows = []
+    bounds = [-1] + list(cuts) + [max(d for d, _ in doc_tfs) + 1]
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        part = [(d, tf) for d, tf in doc_tfs if lo < d <= hi]
+        if part:
+            rows.append(_mk_term_row(spark, term, part))
+    return rows
+
+
+def test_blockmax_single_multigeneration_exact(spark, cache):
+    """The single-term scorer over 3 generation rows (disjoint dense
+    docID ranges, the streaming shape) matches the merged full decode
+    bit-exactly."""
+    rng = np.random.RandomState(23)
+    doc_tfs = [(d, int(rng.randint(1, 30))) for d in range(2000)]
+    merged = _mk_term_row(spark, "t", doc_tfs)
+    gens = _split_gens(spark, "t", doc_tfs, [700, 1400])
+    assert len(gens) == 3
+    codes_for = lambda ids: (np.asarray(ids) * 53) % 256  # noqa: E731
+    for k in (1, 10, 100):
+        want_ids, want_sc = _full_topk(merged, k, cache, codes_for)
+        got = _topk_blockmax_single(
+            gens, k, IDF, cache, K1, codes_for, prune_fallback=False
+        )
+        np.testing.assert_array_equal(got[0], want_ids)
+        np.testing.assert_array_equal(got[1], want_sc)
+
+
+def test_blockmax_conj_multigeneration_exact(spark, cache):
+    """The conjunction scorer over multi-generation terms (each term
+    split at DIFFERENT cuts — bag intervals interleave across rows)
+    matches the single-generation full decode bit-exactly, including
+    duplicate query terms."""
+    from wiser_spark.operators.segments import _topk_blockmax_conj
+
+    rng = np.random.RandomState(31)
+    a_tfs = [(d, int(rng.randint(1, 30))) for d in range(0, 4000, 2)]
+    b_tfs = [(d, int(rng.randint(1, 9))) for d in range(0, 4000, 3)]
+    segs = {"a": _mk_term_row(spark, "a", a_tfs),
+            "b": _mk_term_row(spark, "b", b_tfs)}
+    gens = {
+        "a": _split_gens(spark, "a", a_tfs, [900, 2600]),
+        "b": _split_gens(spark, "b", b_tfs, [1500]),
+    }
+    assert len(gens["a"]) == 3 and len(gens["b"]) == 2
+    idfs = {"a": 0.7, "b": 1.9}
+    codes_for = lambda ids: (np.asarray(ids) * 31) % 256  # noqa: E731
+    for terms in (["a", "b"], ["b", "a"], ["a", "a", "b"]):
+        for k in (1, 10, 100):
+            want = _full_conj_topk(segs, terms, k, idfs, cache, codes_for)
+            got = _topk_blockmax_conj(
+                gens, terms, k, idfs, cache, K1, codes_for, {},
+                prune_fallback=False,
+            )
+            assert got is not None, (terms, k)
+            np.testing.assert_array_equal(got[0], want[0])
+            np.testing.assert_array_equal(got[1], want[1])
+
+
+def test_blockmax_conj_multigeneration_skips(spark, cache):
+    """Poisoned-bytes proof at multi-generation: one hot region in one
+    generation; every bag outside it (in BOTH terms' rows, ALL
+    generations) is corrupted and the answer still matches."""
+    from wiser_spark.operators.segments import _topk_blockmax_conj
+
+    n = 12 * PACK_SIZE
+    lead_tfs = np.ones(n, dtype=np.int64)
+    hot = slice(9 * PACK_SIZE, 9 * PACK_SIZE + 16)  # inside generation 2
+    lead_tfs[hot] = 60
+    a_tfs = list(enumerate(lead_tfs))
+    b_tfs = [(d, 2) for d in range(n)]
+    segs = {"a": _mk_term_row(spark, "a", a_tfs),
+            "b": _mk_term_row(spark, "b", b_tfs)}
+    cuts = [4 * PACK_SIZE - 1, 8 * PACK_SIZE - 1]
+    gens_a = _split_gens(spark, "a", a_tfs, cuts)
+    gens_b = _split_gens(spark, "b", b_tfs, cuts)
+    idfs = {"a": 1.4, "b": 0.8}
+    codes_for = lambda ids: np.full(len(ids), 10, dtype=np.int64)  # noqa: E731
+    want = _full_conj_topk(segs, ["a", "b"], 10, idfs, cache, codes_for)
+    assert set(want[0]) <= set(range(hot.start, hot.stop))
+
+    def poison(seg, keep_bags):
+        blob_d = bytearray(seg["docids_blob"])
+        blob_t = bytearray(seg["tfs_blob"])
+        d_offs = list(seg["skip_docid_offs"]) + [len(blob_d)]
+        t_offs = list(seg["skip_tf_offs"]) + [len(blob_t)]
+        for b in range(len(seg["skip_predocs"])):
+            if b in keep_bags:
+                continue
+            blob_d[d_offs[b]:d_offs[b + 1]] = b"\xff" * (
+                d_offs[b + 1] - d_offs[b])
+            blob_t[t_offs[b]:t_offs[b + 1]] = b"\xff" * (
+                t_offs[b + 1] - t_offs[b])
+        out = dict(seg)
+        out["docids_blob"] = bytes(blob_d)
+        out["tfs_blob"] = bytes(blob_t)
+        return out
+
+    # the hot docs live in bag 1 of generation-2's rows (each
+    # generation holds 4 bags; 9*128 is its second bag). The LEAD's
+    # bags outside it are skipped by θ (poison them all); the other
+    # term's selective decode is exact for interior bags but
+    # conservatively touches each generation row's BOUNDARY bags for
+    # out-of-range candidates (bag 0 / last bag), so those stay clean.
+    pa = [poison(gens_a[0], set()), poison(gens_a[1], set()),
+          poison(gens_a[2], {1})]
+    pb = [poison(gens_b[0], {0, 3}), poison(gens_b[1], {0, 3}),
+          poison(gens_b[2], {1})]
+    got = _topk_blockmax_conj(
+        {"a": pa, "b": pb}, ["a", "b"], 10, idfs, cache, K1,
+        codes_for, {},
+    )
+    assert got is not None
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_array_equal(got[1], want[1])
+
+
+# ---------------------------------------------------------------- phrase
+def _mk_pos_rows(spark, contents):
+    """docs (doc_id = index) -> {term: [segment row]} with positions."""
+    from wiser_spark.operators.postings import build_postings
+
+    docs = spark.createDataFrame(
+        list(enumerate(contents)), "doc_id long, content string"
+    )
+    segs = build_segments(build_postings(docs), n_shards=1).collect()
+    out: dict = {}
+    for r in segs:
+        out.setdefault(r["term"], []).append(r.asDict())
+    return out
+
+
+def _full_phrase_topk(rows_by_term, terms, k, idfs, cache, codes_for):
+    """Reference: full decode (positions included), exact AND, exact
+    adjusted-position intersect, generic scoring-path math."""
+    from wiser_spark.operators.segments import (
+        _bm25_scores,
+        _phrase_intersect,
+    )
+
+    dec = {
+        t: _decode_full_multi(rows_by_term[t]) for t in set(terms)
+    }
+    cand = None
+    for t in set(terms):
+        ids = dec[t][0]
+        cand = ids if cand is None else cand[np.isin(cand, ids)]
+    cand = np.sort(cand)
+    if cand.size:
+        cand, _, _ = _phrase_intersect(dec, terms, cand)
+    if cand.size == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+    scores = _bm25_scores(
+        dec, terms, cand, codes_for(cand), idfs, cache, PARAMS.k1
+    )
+    order = np.lexsort((cand, -scores))[:k]
+    return cand[order], scores[order]
+
+
+def _decode_full_multi(rows):
+    parts = [decode_segment_row(r, with_positions=True) for r in rows]
+    parts.sort(key=lambda p: int(p[0][0]))
+    ids = np.concatenate([p[0] for p in parts])
+    tfs = np.concatenate([p[1] for p in parts])
+    plists = [pl for p in parts for pl in p[2]]
+    return ids, tfs, plists, None
+
+
+def test_blockmax_phrase_exact_vs_full_decode(spark, cache):
+    """Random corpus with adjacent and non-adjacent co-occurrences:
+    phrase block-max winners, bit-exact scores, and tie order all match
+    the full positional path — single- AND multi-generation."""
+    from wiser_spark.operators.segments import _topk_blockmax_conj
+
+    rng = np.random.RandomState(17)
+    contents = []
+    for i in range(1500):
+        words = []
+        for _ in range(int(rng.randint(3, 25))):
+            r = rng.rand()
+            if r < 0.25:
+                words += ["hot", "cold"]          # adjacent pair
+            elif r < 0.4:
+                words += ["hot", f"x{i % 7}", "cold"]  # non-adjacent
+            else:
+                words.append(f"w{int(rng.randint(0, 40))}")
+        contents.append(" ".join(words) or "empty")
+    rows = _mk_pos_rows(spark, contents)
+    idfs = {"hot": 1.1, "cold": 1.7}
+    codes_for = lambda ids: (np.asarray(ids) * 53) % 256  # noqa: E731
+    want = _full_phrase_topk(
+        rows, ["hot", "cold"], 10, idfs, cache, codes_for
+    )
+    assert want[0].size == 10
+    got = _topk_blockmax_conj(
+        {t: rows[t] for t in ("hot", "cold")}, ["hot", "cold"], 10,
+        idfs, cache, K1, codes_for, {}, prune_fallback=False,
+        phrase=True, pos_caches={},
+    )
+    assert got is not None
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_array_equal(got[1], want[1])
+    # multi-generation: same docs split into 3 dense-docID generations
+    cuts = [500, 1000]
+    bounds = [-1] + cuts + [1500]
+    gens: dict = {"hot": [], "cold": []}
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        sub = _mk_pos_rows_sub(spark, contents, lo + 1, hi)
+        for t in ("hot", "cold"):
+            gens[t].extend(sub.get(t, []))
+    got_g = _topk_blockmax_conj(
+        gens, ["hot", "cold"], 10, idfs, cache, K1, codes_for, {},
+        prune_fallback=False, phrase=True, pos_caches={},
+    )
+    assert got_g is not None
+    np.testing.assert_array_equal(got_g[0], want[0])
+    np.testing.assert_array_equal(got_g[1], want[1])
+
+
+def _mk_pos_rows_sub(spark, contents, lo, hi):
+    """Segment rows (positions included) for docs lo..hi only, keeping
+    the ORIGINAL docIDs — one streaming generation's shape."""
+    from wiser_spark.operators.postings import build_postings
+
+    docs = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(contents) if lo <= i <= hi],
+        "doc_id long, content string",
+    )
+    out: dict = {}
+    for r in build_segments(build_postings(docs), n_shards=1).collect():
+        out.setdefault(r["term"], []).append(r.asDict())
+    return out
+
+
+def test_blockmax_phrase_skips_poisoned_bags(spark, cache):
+    """One hot region where 'hot cold' repeats with tf=60; elsewhere
+    the pair co-occurs NON-adjacently with tf=1. Poison every bag
+    outside the hot one in docids, tfs, AND positions of both terms —
+    the phrase scorer must still answer exactly (proof the skipped
+    bags' bytes, positional stream included, are never read)."""
+    from wiser_spark.operators.segments import _topk_blockmax_conj
+
+    n = 10 * PACK_SIZE
+    hot = range(3 * PACK_SIZE, 3 * PACK_SIZE + 16)
+    contents = [
+        ("hot cold " * 60) if i in hot else "hot filler cold"
+        for i in range(n)
+    ]
+    rows = _mk_pos_rows(spark, contents)
+    idfs = {"hot": 1.2, "cold": 1.5}
+    codes_for = lambda ids: np.full(len(ids), 10, dtype=np.int64)  # noqa: E731
+    want = _full_phrase_topk(
+        rows, ["hot", "cold"], 10, idfs, cache, codes_for
+    )
+    assert set(want[0]) <= set(hot) and want[0].size == 10
+
+    def poison(seg, keep_bags):
+        out = dict(seg)
+        for blob_col, off_col in (
+            ("docids_blob", "skip_docid_offs"),
+            ("tfs_blob", "skip_tf_offs"),
+            ("pos_blob", "skip_pos_offs"),
+        ):
+            blob = bytearray(out[blob_col])
+            offs = list(out[off_col]) + [len(blob)]
+            for b in range(len(seg["skip_predocs"])):
+                if b in keep_bags:
+                    continue
+                blob[offs[b]:offs[b + 1]] = b"\xff" * (
+                    offs[b + 1] - offs[b])
+            out[blob_col] = bytes(blob)
+        return out
+
+    pa = poison(rows["hot"][0], {3})
+    pb = poison(rows["cold"][0], {3})
+    got = _topk_blockmax_conj(
+        {"hot": [pa], "cold": [pb]}, ["hot", "cold"], 10, idfs, cache,
+        K1, codes_for, {}, phrase=True, pos_caches={},
+    )
+    assert got is not None
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_array_equal(got[1], want[1])
+
+
+def test_blockmax_phrase_fallbacks(spark, cache):
+    """Phrase mode returns None when a row lacks the positional column
+    (the stream was built without positions) — the kernel then takes
+    the generic full-decode phrase path."""
+    from wiser_spark.operators.segments import _topk_blockmax_conj
+
+    seg_a = _mk_term_row(spark, "a", [(d, 2) for d in range(6 * PACK_SIZE)])
+    seg_b = _mk_term_row(spark, "b", [(d, 2) for d in range(6 * PACK_SIZE)])
+    assert len(seg_a["pos_blob"]) == 0  # built without positions
+    idfs = {"a": 1.0, "b": 1.0}
+    codes_for = lambda ids: np.full(len(ids), 10, dtype=np.int64)  # noqa: E731
+    assert _topk_blockmax_conj(
+        {"a": [seg_a], "b": [seg_b]}, ["a", "b"], 10, idfs, cache, K1,
+        codes_for, {}, phrase=True, pos_caches={},
+    ) is None
+
+
+@pytest.mark.parametrize("terms", [["hot", "cold"], ["hot", "cold", "mild"]])
+def test_blockmax_phrase_end_to_end_rank_identity(spark, tmp_path,
+                                                  monkeypatch, terms):
+    """SegmentIndex.search phrase queries return the same rows whether
+    the phrase block-max gate fires or not."""
+    import wiser_spark.operators.segments as segmod
+    from wiser_spark.operators.mapside import write_index_mapside
+
+    rng = np.random.RandomState(29)
+    rows = []
+    for i in range(1400):
+        words = []
+        for _ in range(int(rng.randint(2, 12))):
+            r = rng.rand()
+            if r < 0.3:
+                words += ["hot", "cold", "mild"]
+            elif r < 0.45:
+                words += ["hot", "pad", "cold"]
+            else:
+                words.append(f"w{int(rng.randint(0, 60))}")
+        rows.append((i, " ".join(words) or "empty"))
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    d = str(tmp_path / "idx")
+    write_index_mapside(docs, d, IndexConfig(bm25=PARAMS, n_shards=2))
+    idx = SegmentIndex(spark, d)
+    full = [tuple(r) for r in
+            idx.search(terms, k=10, is_phrase=True).collect()]
+    assert len(full) == 10
+    monkeypatch.setattr(segmod, "PARTIAL_DECODE_MIN_PAGES", 1)
+    bm = [tuple(r) for r in
+          idx.search(terms, k=10, is_phrase=True).collect()]
+    assert bm == full
 
 
 @pytest.mark.parametrize("terms", [["hot", "warm"], ["hot", "warm", "def"]])

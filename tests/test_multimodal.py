@@ -111,6 +111,54 @@ def test_real_decode_raises(blobs):
     )
 
 
+def test_library_decoder_boundary(monkeypatch):
+    """The try-import boundary (r04 item 9): with PIL absent a JPEG
+    blob raises the explicit NotImplementedError; with a PIL-shaped
+    module present the SAME blob decodes through the shared image
+    summary — the decoders activate the day the environment provides
+    the library, with no code change."""
+    import numpy as np
+
+    import wiser_spark.operators.multimodal as mm
+
+    jpeg_blob = b"\xff\xd8\xff\xe0" + b"fake-jpeg-body" * 10
+    monkeypatch.setattr(mm, "_PIL", None)
+    with pytest.raises(NotImplementedError, match="image/audio library"):
+        mm._real_features(jpeg_blob, 16)
+
+    class FakeImg:
+        width, height = 4, 2
+
+        def convert(self, mode):
+            assert mode == "RGB"
+            return self
+
+        def __array__(self, dtype=None, copy=None):
+            px = np.zeros((2, 4, 3), dtype=np.uint8)
+            px[..., 0] = 255  # pure red
+            return px.astype(dtype) if dtype else px
+
+    class FakePIL:
+        @staticmethod
+        def open(f):
+            return FakeImg()
+
+    monkeypatch.setattr(mm, "_PIL", FakePIL)
+    feats = mm._real_features(jpeg_blob, 16)
+    assert len(feats) == 16
+    assert feats[0] == pytest.approx(4 / 4096.0)   # width
+    assert feats[1] == pytest.approx(2 / 4096.0)   # height
+    assert feats[2] == pytest.approx(1.0)          # R mean
+    assert feats[3] == pytest.approx(0.0)          # G mean
+    # the numpy PPM floor answers identically with or without PIL
+    ppm = b"P6\n4 2\n255\n" + bytes(
+        np.array([[255, 0, 0]] * 8, dtype=np.uint8)
+    )
+    with_pil = mm._real_features(ppm, 16)
+    monkeypatch.setattr(mm, "_PIL", None)
+    assert mm._real_features(ppm, 16) == with_pil == feats
+
+
 def test_frame_sampling(blobs):
     out = frame_sample_stub(blobs, every_n_bytes=128).collect()
     by_id = {}

@@ -141,33 +141,35 @@ def test_batched_mapside_build_resumable_and_rank_identical(
     )
     d = str(tmp_path / "bidx")
 
-    # crash after two successful batches
-    real = IncrementalIndexer.process_batch
+    # crash after two successful batches (the pipelined build commits
+    # through commit_prepared — the durable commit point; prepares are
+    # in-memory only, so crashing here models losing the process)
+    real = IncrementalIndexer.commit_prepared
     calls = {"n": 0}
 
-    def flaky(self, batch, batch_id, **kw):
+    def flaky(self, spark_, batch_id, prep, **kw):
         if calls["n"] == 2:
             raise RuntimeError("simulated executor loss")
         calls["n"] += 1
-        return real(self, batch, batch_id, **kw)
+        return real(self, spark_, batch_id, prep, **kw)
 
-    monkeypatch.setattr(IncrementalIndexer, "process_batch", flaky)
+    monkeypatch.setattr(IncrementalIndexer, "commit_prepared", flaky)
     with pytest.raises(RuntimeError, match="simulated"):
         build_index_mapside_batched(
             spark, docs, d, cfg, n_batches=n_batches
         )
     committed = set(json.load(open(f"{d}/commits.json")))
     assert committed == {"0", "1"}
-    monkeypatch.setattr(IncrementalIndexer, "process_batch", real)
+    monkeypatch.setattr(IncrementalIndexer, "commit_prepared", real)
 
     calls["n"] = 0
-    counted = IncrementalIndexer.process_batch
+    counted = IncrementalIndexer.commit_prepared
 
-    def counting(self, batch, batch_id, **kw):
+    def counting(self, spark_, batch_id, prep, **kw):
         calls["n"] += 1
-        return counted(self, batch, batch_id, **kw)
+        return counted(self, spark_, batch_id, prep, **kw)
 
-    monkeypatch.setattr(IncrementalIndexer, "process_batch", counting)
+    monkeypatch.setattr(IncrementalIndexer, "commit_prepared", counting)
     out = str(tmp_path / "compacted")
     manifest = build_index_mapside_batched(
         spark, docs, d, cfg, n_batches=n_batches, compact_to=out

@@ -321,6 +321,35 @@ def test_warmup_and_jobless_dictionary_cache(spark, index_dir):
     assert idx2._dict_lookup(["return"])["return"] == m["return"]
 
 
+def test_warmup_memoized_past_cache_cap(spark, index_dir):
+    """With the vocabulary OVER the driver-cache cap, warmup()
+    materializes the cached dictionary with ONE count() job and
+    memoizes it — a second warmup() runs zero jobs (r04 item 6)."""
+    idx = SegmentIndex(spark, index_dir)
+    idx.DICT_DRIVER_CACHE_MAX = 0  # force the over-cap path
+
+    class CountingDF:
+        def __init__(self, df):
+            self._df = df
+            self.counts = 0
+
+        def count(self):
+            self.counts += 1
+            return self._df.count()
+
+        def __getattr__(self, name):
+            return getattr(self._df, name)
+
+    proxy = CountingDF(idx.dictionary)
+    idx.dictionary = proxy
+    assert idx.warmup() is idx
+    assert proxy.counts == 1  # one materialization job
+    assert idx._dict_mem is None  # stayed on the distributed path
+    idx.warmup()
+    idx.warmup()
+    assert proxy.counts == 1  # memoized: no re-count
+
+
 @pytest.mark.parametrize("terms,is_phrase", QUERIES)
 def test_segment_search_rank_identical_to_oracle(
     spark, oracle, index_dir, terms, is_phrase

@@ -283,8 +283,12 @@ def test_auto_compaction_tiered_trigger(spark, tmp_path, oracle,
         assert got_a == got_p, (terms, ph)
     # torn swap: stage + journal a merge of the two oldest remaining
     # generations, but "crash" before the swap applies (journal on
-    # disk, generation dirs untouched). A plain SegmentIndex LOAD must
-    # roll the journal forward and answer identically.
+    # disk, manifest unflipped). READERS need no recovery: the
+    # generations manifest still names the consistent pre-flip set, so
+    # a plain SegmentIndex load answers identically WITHOUT touching
+    # the journal (journal application is writer-only — the r04
+    # high-severity reader/writer race is structurally closed). The
+    # WRITER's next operation rolls the journal forward.
     import wiser_spark.streaming.incremental as incmod
 
     gens_before = ix_auto._generations()
@@ -294,11 +298,22 @@ def test_auto_compaction_tiered_trigger(spark, tmp_path, oracle,
     monkeypatch.undo()
     assert os.path.exists(f"{d_auto}/compaction.json")  # torn state
     assert ix_auto._generations() == gens_before        # swap not applied
-    idx_healed = SegmentIndex(spark, d_auto)            # read-path heal
-    assert not os.path.exists(f"{d_auto}/compaction.json")
-    assert len(ix_auto._generations()) == len(gens_before) - 1
+    idx_torn = SegmentIndex(spark, d_auto)  # reader: consistent, no heal
+    assert os.path.exists(f"{d_auto}/compaction.json")  # untouched
     got = [tuple(r) for r in
-           idx_healed.search(["return", "import"], k=10).collect()]
+           idx_torn.search(["return", "import"], k=10).collect()]
     want = [tuple(r) for r in
             idx_p.search(["return", "import"], k=10).collect()]
+    assert got == want
+    # writer-side recovery rolls the swap forward; the merged
+    # generation installs under a FRESH id (MERGED_GEN_BASE namespace)
+    # and the two merged-away generations leave the manifest
+    incmod.recover_compaction(d_auto, sweep=True)
+    assert not os.path.exists(f"{d_auto}/compaction.json")
+    gens_after = ix_auto._generations()
+    assert len(gens_after) == len(gens_before) - 1
+    assert max(gens_after) >= incmod.MERGED_GEN_BASE
+    idx_healed = SegmentIndex(spark, d_auto)
+    got = [tuple(r) for r in
+           idx_healed.search(["return", "import"], k=10).collect()]
     assert got == want

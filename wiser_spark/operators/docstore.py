@@ -116,6 +116,15 @@ def write_doc_store(
     store's meta.json and honored by ``fetch_docs``."""
     codec = codec or default_codec()
     _codec_fns(codec)  # validate driver-side before launching the job
+    # meta.json is written BEFORE the extents job and atomically
+    # (tmp + os.replace) — a crash mid-build can leave extents without
+    # meta only in the legacy direction, never an lz4 store that a
+    # reader would mis-decode with the zlib fallback (r04 advisory)
+    os.makedirs(store_dir, exist_ok=True)
+    tmp = f"{store_dir}/meta.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"codec": codec, "align": bool(align)}, f)
+    os.replace(tmp, f"{store_dir}/meta.json")
     sel = docs.select(
         F.col("doc_id"), F.col(content_col).alias("content")
     ).sortWithinPartitions("doc_id")
@@ -170,9 +179,6 @@ def write_doc_store(
     sel.mapInPandas(pack, STORE_SCHEMA).write.mode("overwrite").parquet(
         f"{store_dir}/extents"
     )
-    os.makedirs(store_dir, exist_ok=True)
-    with open(f"{store_dir}/meta.json", "w") as f:
-        json.dump({"codec": codec, "align": bool(align)}, f)
 
 
 def _fetch_predicate(wanted: list[int]):

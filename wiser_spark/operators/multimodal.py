@@ -6,9 +6,12 @@ signatures, partitioning) is real and tested. Decode support is tiered:
   * PPM (P6) images and PCM16 WAV audio decode with PURE NUMPY — header
     parse + frombuffer, no external library — and feed a deterministic
     feature summary (dims, channel moments, histogram);
-  * any other container (JPEG/PNG/MP3/...) raises NotImplementedError
-    per-batch with a clear excuse (no image/audio library ships in this
-    container);
+  * JPEG/PNG (via PIL) and FLAC/OGG (via soundfile) decode through a
+    TRY-IMPORT boundary (the doc store's lz4 pattern): active when the
+    library exists in the environment, absent here — the pure-numpy
+    decoders stay the tested floor either way;
+  * any other container raises NotImplementedError per-batch with a
+    clear excuse;
   * ``fake=True`` derives features directly from the md5 digest bytes of
     the blob — deterministic AND SQL-expressible, so the DuckDB oracle
     can recompute them bit-for-bit (feature[i] =
@@ -111,6 +114,60 @@ def _pad(vals: list[float], dim: int) -> list[float]:
     return np.pad(v, (0, dim - v.size)).tolist()
 
 
+def _try_library_decoders():
+    """(pil_open, soundfile_read) — try-import boundary mirroring the
+    doc store's lz4 pattern (r04 item 9): when PIL / soundfile exist in
+    the environment, JPEG/PNG (and float WAV/FLAC/OGG) decode for real;
+    absent (this container ships neither), the pure-numpy PPM/WAV
+    decoders remain the tested floor and anything else raises the
+    explicit NotImplementedError below. Resolved per-executor at
+    import, cached at module level."""
+    try:
+        from PIL import Image as _img  # noqa: F401
+
+        pil = _img
+    except ImportError:
+        pil = None
+    try:
+        import soundfile as _sf  # noqa: F401
+
+        sf = _sf
+    except ImportError:
+        sf = None
+    return pil, sf
+
+
+_PIL, _SOUNDFILE = _try_library_decoders()
+
+
+def _image_summary(px_float: np.ndarray, w: int, h: int, dim: int):
+    """Shared feature summary for any decoded (h, w, 3) float image."""
+    lum = px_float @ np.array([0.299, 0.587, 0.114])
+    hist, _ = np.histogram(lum, bins=8, range=(0.0, 1.0))
+    return _pad(
+        [w / 4096.0, h / 4096.0]
+        + px_float.reshape(-1, 3).mean(axis=0).tolist()
+        + px_float.reshape(-1, 3).std(axis=0).tolist()
+        + (hist / max(lum.size, 1)).tolist(),
+        dim,
+    )
+
+
+def _audio_summary(rate: int, s: np.ndarray, dim: int):
+    """Shared feature summary for any decoded float waveform in [-1,1]."""
+    n = max(s.size, 1)
+    zc = float(np.count_nonzero(np.diff(np.signbit(s)))) / n
+    hist, _ = np.histogram(np.abs(s), bins=10, range=(0.0, 1.0))
+    return _pad(
+        [rate / 48000.0, s.size / 1e6,
+         float(s.mean()) if s.size else 0.0,
+         float(s.std()) if s.size else 0.0,
+         float(np.sqrt((s * s).mean())) if s.size else 0.0, zc]
+        + (hist / n).tolist(),
+        dim,
+    )
+
+
 def _real_features(blob: bytes, dim: int) -> list[float]:
     """Feature summary for the numpy-decodable containers: image =
     [w, h, per-channel mean/std (scaled), 8-bin luminance histogram];
@@ -119,33 +176,32 @@ def _real_features(blob: bytes, dim: int) -> list[float]:
     head = bytes(blob[:12])
     if head[:2] == b"P6":
         w, h, px = decode_ppm(blob)
-        f = px.astype(np.float64) / 255.0
-        lum = f @ np.array([0.299, 0.587, 0.114])
-        hist, _ = np.histogram(lum, bins=8, range=(0.0, 1.0))
-        return _pad(
-            [w / 4096.0, h / 4096.0]
-            + f.reshape(-1, 3).mean(axis=0).tolist()
-            + f.reshape(-1, 3).std(axis=0).tolist()
-            + (hist / max(lum.size, 1)).tolist(),
-            dim,
-        )
+        return _image_summary(px.astype(np.float64) / 255.0, w, h, dim)
     if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
         rate, samples = decode_wav(blob)
-        s = samples.astype(np.float64) / 32768.0
-        n = max(s.size, 1)
-        zc = float(np.count_nonzero(np.diff(np.signbit(s)))) / n
-        hist, _ = np.histogram(np.abs(s), bins=10, range=(0.0, 1.0))
-        return _pad(
-            [rate / 48000.0, s.size / 1e6, float(s.mean()) if s.size else 0.0,
-             float(s.std()) if s.size else 0.0,
-             float(np.sqrt((s * s).mean())) if s.size else 0.0, zc]
-            + (hist / n).tolist(),
-            dim,
-        )
+        return _audio_summary(rate, samples.astype(np.float64) / 32768.0, dim)
+    # library-backed containers, active only where the libs exist
+    is_jpeg = head[:3] == b"\xff\xd8\xff"
+    is_png = head[:8] == b"\x89PNG\r\n\x1a\n"
+    if _PIL is not None and (is_jpeg or is_png):
+        import io
+
+        img = _PIL.open(io.BytesIO(bytes(blob))).convert("RGB")
+        px = np.asarray(img, dtype=np.float64) / 255.0
+        return _image_summary(px, img.width, img.height, dim)
+    if _SOUNDFILE is not None and head[:4] in (b"fLaC", b"OggS"):
+        import io
+
+        s, rate = _SOUNDFILE.read(io.BytesIO(bytes(blob)), dtype="float64")
+        if s.ndim > 1:
+            s = s.mean(axis=1)
+        return _audio_summary(int(rate), s, dim)
     raise NotImplementedError(
         "real decode for this container needs an image/audio library "
-        "(PIL/libsndfile — absent here); PPM(P6)/PCM16-WAV decode in "
-        "pure numpy, or run with fake=True for the md5-derived stub"
+        "(PIL/soundfile — absent here; they activate automatically via "
+        "the try-import boundary when installed); PPM(P6)/PCM16-WAV "
+        "decode in pure numpy, or run with fake=True for the "
+        "md5-derived stub"
     )
 
 

@@ -76,11 +76,71 @@ def assign_doc_ids(
         out = out.localCheckpoint(eager=True)
         with_pid.unpersist()
         return out
-    # default path: with_pid stays persisted (released by Spark's
-    # context cleaner with the DataFrame) — the persisted layout is what
-    # keeps the pid->count map and the final pass on the SAME sampled
-    # range boundaries, so it must outlive every action on `out`.
+    # default path: with_pid must stay persisted until the caller's
+    # LAST action over `out` (the persisted layout is what keeps the
+    # pid->count map and the final pass on the SAME sampled range
+    # boundaries). The handle rides on the result as ``_wiser_pinned``
+    # so callers release it eagerly after their terminal action instead
+    # of waiting on the JVM context cleaner (r04 advisory — one pinned
+    # intermediate per call adds up over a large batched build).
+    out._wiser_pinned = with_pid
     return out
+
+
+def assign_doc_ids_with_stats(
+    df: DataFrame,
+    order_cols=DEFAULT_ORDER,
+    aggs: list | None = None,
+    n_partitions: int | None = None,
+):
+    """assign_doc_ids PLUS batch statistics folded into the SAME job
+    that materializes the sorted layout — the per-pid count/offset
+    collect doubles as the stats pass, so callers (the streaming sink,
+    the resumable batched build) need no separate count() or
+    Observation scan over the slice.
+
+    ``aggs``: extra SUM-DECOMPOSABLE aggregate columns (e.g.
+    ``F.sum(doclen).alias("lensum")``) — each is evaluated per
+    partition and summed across partitions, which is exact for
+    sum/count shapes (the only shapes the engine needs).
+
+    Returns ``(out, totals, pinned)``: the docID'd DataFrame (0-based
+    ids), a dict of {"_n": total_rows, <agg alias>: global sum}, and
+    the PINNED intermediate — callers MUST ``pinned.unpersist()`` after
+    their one terminal action over ``out`` (prepare/encode pipelines
+    overlap batches, so eager release matters at scale)."""
+    order_cols = list(order_cols)
+    if n_partitions is None:
+        n_partitions = df.sparkSession.sparkContext.defaultParallelism
+    sorted_df = df.repartitionByRange(
+        n_partitions, *order_cols
+    ).sortWithinPartitions(*order_cols)
+    with_pid = sorted_df.withColumn("_pid", F.spark_partition_id()).persist()
+    agg_rows = with_pid.groupBy("_pid").agg(
+        F.count(F.lit(1)).alias("_n"), *(aggs or [])
+    ).collect()
+    counts = {r["_pid"]: r["_n"] for r in agg_rows}
+    totals: dict = {"_n": sum(counts.values())}
+    for alias in (agg_rows[0].asDict().keys() if agg_rows else []):
+        if alias not in ("_pid", "_n"):
+            totals[alias] = sum(
+                (r[alias] or 0) for r in agg_rows
+            )
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    local = Window.partitionBy("_pid").orderBy(*order_cols)
+    out = with_pid.withColumn(
+        "doc_id",
+        (F.row_number().over(local) - 1 + offset_map[F.col("_pid")]).cast(
+            "long"
+        ),
+    ).drop("_pid")
+    return out, totals, with_pid
 
 
 def build_postings(

@@ -472,7 +472,31 @@ def _decode_bag(r, b, pre, n, n_bags):
     return ids, tfs
 
 
-def _decode_term_selective(rows, cand, bag_cache: dict | None = None):
+def _decode_bag_positions(r, b, tfs_bag, n_bags) -> list:
+    """Positions of ONE 128-posting bag as per-doc arrays aligned with
+    the bag's postings. Bag boundaries coincide with doc starts and the
+    per-doc delta runs reset at each doc (``_delta_varint_runs``), so
+    decoding can begin at ``skip_pos_offs[b]`` with no earlier context
+    — the positional analogue of ``_decode_bag``."""
+    tfs_bag = np.asarray(tfs_bag, dtype=np.int64)
+    off = 0 if n_bags <= 1 else int(r["skip_pos_offs"][b])
+    vals, _ = varint_decode(
+        np.frombuffer(r["pos_blob"], dtype=np.uint8),
+        offset=off,
+        count=int(tfs_bag.sum()),
+    )
+    flat = np.cumsum(vals.astype(np.int64))
+    ends = np.cumsum(tfs_bag)
+    starts = ends - tfs_bag
+    carry = np.zeros(len(flat), dtype=np.int64)
+    carry[starts[1:]] = flat[ends[:-1] - 1]
+    flat = flat - np.maximum.accumulate(carry)
+    return [flat[e - t : e] for t, e in zip(tfs_bag, ends)]
+
+
+def _decode_term_selective(rows, cand, bag_cache: dict | None = None,
+                           with_positions: bool = False,
+                           pos_cache: dict | None = None):
     """Skip-based PARTIAL decode of one term's (possibly multi-
     generation) rows: decode only the 128-posting bags whose docID
     range can contain a candidate — the skip entries' pre_doc_id gives
@@ -484,39 +508,58 @@ def _decode_term_selective(rows, cand, bag_cache: dict | None = None):
     (row_idx, bag_idx) -> (ids, tfs): when several queries in a batch
     share the term, each bag decodes at most ONCE across the whole
     batch — the union-of-candidates behavior without any cross-query
-    coordination.
+    coordination. ``with_positions`` additionally decodes the selected
+    bags' POSITIONAL runs (phrase block-max) through ``pos_cache``,
+    same keying.
 
-    Returns (ids, tfs, None, None) covering every candidate that
-    exists in the term; non-selected bags are never touched."""
+    Returns (ids, tfs, plists|None, None) covering every candidate
+    that exists in the term; non-selected bags are never touched."""
     if bag_cache is None:
         bag_cache = {}
+    if with_positions and pos_cache is None:
+        pos_cache = {}
     parts = []
     for ri, r in enumerate(rows):
         n = int(r["df_shard"])
         pre = np.asarray(r["skip_predocs"], dtype=np.int64)
         n_bags = len(pre)
         if n_bags <= 1:
-            key = (ri, 0)
-            if key not in bag_cache:
-                bag_cache[key] = _decode_bag(r, 0, pre, n, n_bags)
-            parts.append(bag_cache[key])
-            continue
-        # bag b holds docIDs strictly greater than pre[b] (pre[b] IS the
-        # last docID of bag b-1), so a candidate EQUAL to pre[b] lives
-        # in bag b-1: side='left' puts it there; candidates below the
-        # first real docID clamp to bag 0 (pre[0] is the 0 sentinel)
-        sel = np.unique(
-            np.maximum(np.searchsorted(pre, cand, side="left") - 1, 0)
-        )
+            sel = [0]
+        else:
+            # bag b holds docIDs strictly greater than pre[b] (pre[b] IS
+            # the last docID of bag b-1), so a candidate EQUAL to pre[b]
+            # lives in bag b-1: side='left' puts it there; candidates
+            # below the first real docID clamp to bag 0 (pre[0] is 0)
+            sel = np.unique(
+                np.maximum(np.searchsorted(pre, cand, side="left") - 1, 0)
+            )
         for b in sel:
             key = (ri, int(b))
             if key not in bag_cache:
                 bag_cache[key] = _decode_bag(r, int(b), pre, n, n_bags)
-            parts.append(bag_cache[key])
+            ids_b, tfs_b = bag_cache[key]
+            if with_positions:
+                if key not in pos_cache:
+                    pos_cache[key] = _decode_bag_positions(
+                        r, int(b), tfs_b, n_bags
+                    )
+                parts.append((ids_b, tfs_b, pos_cache[key]))
+            else:
+                parts.append((ids_b, tfs_b, None))
     parts.sort(key=lambda p: int(p[0][0]) if len(p[0]) else 0)
     ids = np.concatenate([p[0] for p in parts])
     tfs = np.concatenate([p[1] for p in parts])
-    return ids, tfs, None, None
+    plists = [pl for p in parts for pl in p[2]] if with_positions else None
+    if ids.size > 1 and np.any(np.diff(ids) <= 0):
+        # interleaved-generation doc ranges (a partially-compacted
+        # stream): restore the global docID order the callers'
+        # searchsorted math requires (docIDs are unique across
+        # generations, so a stable argsort is a clean permutation)
+        order = np.argsort(ids, kind="stable")
+        ids, tfs = ids[order], tfs[order]
+        if with_positions:
+            plists = [plists[j] for j in order]
+    return ids, tfs, plists, None
 
 
 def _topk_blockmax_single(rows, k, idf_t, cache, k1, codes_for,
@@ -636,11 +679,14 @@ def _topk_blockmax_single(rows, k, idf_t, cache, k1, codes_for,
 
 def _topk_blockmax_conj(rows_by_term, terms_l, k, idfs, cache, k1,
                         codes_for, bag_caches: dict,
-                        prune_fallback: bool = True):
-    """Score-neutral BLOCK-MAX top-k for a CONJUNCTION — the multi-term
-    extension of ``_topk_blockmax_single`` (the north star's
-    "block-max-WAND-style scorer" at bag granularity; reference
-    semantics stay exact AND, ``query_processing.h:810-852``).
+                        prune_fallback: bool = True,
+                        phrase: bool = False,
+                        pos_caches: dict | None = None):
+    """Score-neutral BLOCK-MAX top-k for a CONJUNCTION — and, with
+    ``phrase=True``, for a PHRASE — the multi-term extension of
+    ``_topk_blockmax_single`` (the north star's "block-max-WAND-style
+    scorer" at bag granularity; reference semantics stay exact,
+    ``query_processing.h:810-852``).
 
     The LEAD term (smallest shard df) drives: every result doc is one
     of its postings, so its 128-posting bags partition the result
@@ -656,8 +702,14 @@ def _topk_blockmax_conj(rows_by_term, terms_l, k, idfs, cache, k1,
     cache term), maxtf_lead = the bag's own skip_max_tfs entry, and
     maxtf_other = max of skip_max_tfs over that term's bags OVERLAPPING
     [lo, hi] (any result doc's posting for that term lives in an
-    overlapping bag; the bag intervals tile the term's doc range
-    contiguously, so a window is never empty — guarded anyway).
+    overlapping bag).
+
+    MULTI-GENERATION terms (a streaming index between compactions) are
+    eligible (round-5 upgrade): each term's bag table concatenates its
+    generation rows' bags sorted by lo, and the window search uses the
+    RUNNING MAX of the his — with interleaved generation doc ranges the
+    interval windows only widen, so the bound stays a true upper bound
+    and searchsorted's monotonicity requirement holds.
 
     Lead bags process in descending bound order; candidates decode
     through the shared per-term BAG CACHES (each bag of any term
@@ -667,16 +719,27 @@ def _topk_blockmax_conj(rows_by_term, terms_l, k, idfs, cache, k1,
     STRICTLY, so winners, exact scores, and the (score desc, doc_id
     asc) tie order all match the full-decode path.
 
+    PHRASE mode (round-5, r04 item 2): phrase scoring is plain BM25 of
+    the matching doc — the match only gates inclusion (reference
+    ``query_processing.h:886-895``) — so the conjunction bound remains
+    a true upper bound for phrase winners. The same lead-bag scan runs;
+    surviving candidates additionally decode their POSITIONAL runs at
+    bag granularity (``_decode_bag_positions`` via ``pos_caches``) and
+    pass the exact adjusted-position intersect before scoring. Bags
+    whose bound < θ never decode ids, tfs, OR positions. (The bloom
+    pre-check is skipped here — it is pruning-only, and its filters
+    index the FULL posting order, which this path never materializes.)
+
     Returns (winner_ids, winner_scores) or None when the caller should
-    take the generic path: any term has multiple generation rows (the
-    per-bag doc ranges of different generations interleave, breaking
-    the sorted-interval overlap math — compaction restores
-    eligibility), any row predates skip_max_tfs, the lead is too small
-    for per-bag work to pay, or the decode-work projection exceeds the
+    take the generic path: any row predates skip_max_tfs (or, in
+    phrase mode, lacks a positional column), the lead is too small for
+    per-bag work to pay, or the decode-work projection exceeds the
     budget (flat tf distributions — same escape as the single-term
     scorer; ``prune_fallback=False`` pins exactness in tests)."""
     INF = np.int64(2**62)
     cmin = float(cache.min())
+    if phrase and pos_caches is None:
+        pos_caches = {}
 
     def bnd(m):
         return (m * (k1 + 1.0)) / (m + cmin)
@@ -686,50 +749,77 @@ def _topk_blockmax_conj(rows_by_term, terms_l, k, idfs, cache, k1,
         weight[t] = weight.get(t, 0.0) + 1.0
     uniq = list(weight)
 
-    # per-term bag table from the term's ONE segment row: (lo, hi,
-    # max_tf) per bag, lo/hi ascending by construction (pre-doc-ids of
-    # an ascending posting list)
-    rows_of: dict[str, dict] = {}
+    # per-term bag table ACROSS generation rows: (lo, hi, running-max
+    # hi, max_tf, row_idx, bag_idx) per bag, sorted by lo
+    rows_of: dict[str, list] = {}
     tables: dict[str, tuple] = {}
     total_bags = 0
     for t in uniq:
         rows = rows_by_term[t]
-        if len(rows) != 1:
-            return None  # multi-generation: compaction restores this
-        r = rows[0]
-        mx = r["skip_max_tfs"] if "skip_max_tfs" in r else None
-        if mx is None or (isinstance(mx, float) and np.isnan(mx)):
-            return None
-        n = int(r["df_shard"])
-        pre = np.asarray(r["skip_predocs"], dtype=np.int64)
-        n_bags = max(len(pre), 1)
-        mxa = np.asarray(mx, dtype=np.int64)
-        if mxa.size != n_bags:
-            return None  # foreign/legacy row shape: stay exact
-        lo = (pre if len(pre) else np.zeros(1, dtype=np.int64)) + 1
-        # hi of bag b = pre[b+1] (the EXACT last docID of bag b); the
-        # final bag is open-ended (its last docID isn't stored)
-        hi = np.concatenate((lo[1:] - 1, np.asarray([INF])))
-        tables[t] = (lo, hi, mxa)
-        rows_of[t] = {"row": r, "pre": pre, "n": n, "n_bags": n_bags}
-        total_bags += n_bags
-    lead = min(uniq, key=lambda t: rows_of[t]["n"])
-    l_lo, l_hi, l_max = tables[lead]
+        lo_p, hi_p, mx_p, ctx = [], [], [], []
+        for r in rows:
+            mx = r["skip_max_tfs"] if "skip_max_tfs" in r else None
+            if mx is None or (isinstance(mx, float) and np.isnan(mx)):
+                return None
+            n = int(r["df_shard"])
+            pre = np.asarray(r["skip_predocs"], dtype=np.int64)
+            n_bags = max(len(pre), 1)
+            mxa = np.asarray(mx, dtype=np.int64)
+            if mxa.size != n_bags:
+                return None  # foreign/legacy row shape: stay exact
+            if phrase:
+                pb = r["pos_blob"] if "pos_blob" in r else None
+                offs = (
+                    r["skip_pos_offs"] if "skip_pos_offs" in r else None
+                )
+                if (
+                    pb is None or len(pb) == 0
+                    or (n_bags > 1
+                        and (offs is None or len(offs) != n_bags))
+                ):
+                    return None  # no positional bags: generic path
+            lo = (pre if len(pre) else np.zeros(1, dtype=np.int64)) + 1
+            # hi of bag b = pre[b+1] (the EXACT last docID of bag b);
+            # the final bag is open-ended (last docID isn't stored)
+            hi = np.concatenate((lo[1:] - 1, np.asarray([INF])))
+            lo_p.append(lo)
+            hi_p.append(hi)
+            mx_p.append(mxa)
+            ctx.append((r, pre, n, n_bags))
+            total_bags += n_bags
+        lo = np.concatenate(lo_p)
+        hi = np.concatenate(hi_p)
+        mxa = np.concatenate(mx_p)
+        ridx = np.concatenate(
+            [np.full(p.size, j, dtype=np.int64) for j, p in enumerate(lo_p)]
+        )
+        bidx = np.concatenate(
+            [np.arange(p.size, dtype=np.int64) for p in lo_p]
+        )
+        if len(rows) > 1:
+            order = np.argsort(lo, kind="stable")
+            lo, hi, mxa = lo[order], hi[order], mxa[order]
+            ridx, bidx = ridx[order], bidx[order]
+        # running max keeps hi monotone for searchsorted; with
+        # interleaved generations it only WIDENS windows (conservative)
+        tables[t] = (lo, hi, np.maximum.accumulate(hi), mxa, ridx, bidx)
+        rows_of[t] = ctx
+    lead = min(uniq, key=lambda t: sum(c[2] for c in rows_of[t]))
+    l_lo, l_hi, _, l_max, l_ridx, l_bidx = tables[lead]
     n_lead = l_lo.size
     if n_lead < 4:
         return None  # tiny lead: the generic path is already minimal
     others = [t for t in uniq if t != lead]
 
     # per-lead-bag combined bound: overlap window per other term =
-    # bags with bag_lo <= lead_hi and bag_hi >= lead_lo (both arrays
-    # ascending); window max via a per-window slice max — windows of
-    # consecutive lead bags are near-disjoint, so total work is
-    # O(n_lead + n_other)
+    # bags with bag_lo <= lead_hi and bag_hi >= lead_lo; window max via
+    # a per-window slice max — windows of consecutive lead bags are
+    # near-disjoint, so total work is O(n_lead + n_other)
     bounds = weight[lead] * idfs[lead] * bnd(l_max.astype(np.float64))
     for t in others:
-        t_lo, t_hi, t_max = tables[t]
+        t_lo, _, t_hi_rm, t_max, _, _ = tables[t]
         j_end = np.searchsorted(t_lo, l_hi, side="right")
-        j_start = np.searchsorted(t_hi, l_lo, side="left")
+        j_start = np.searchsorted(t_hi_rm, l_lo, side="left")
         wmax = np.zeros(n_lead, dtype=np.float64)
         for i in range(n_lead):
             if j_start[i] < j_end[i]:
@@ -757,33 +847,44 @@ def _topk_blockmax_conj(rows_by_term, terms_l, k, idfs, cache, k1,
             n_surv = int(np.count_nonzero(bounds[desc[step:]] >= theta))
             if (cache_fill() - spent0) + n_surv * (1 + len(others)) > budget:
                 return None
-        lr = rows_of[lead]
+        ri, b = int(l_ridx[i]), int(l_bidx[i])
+        r, pre, n, n_bags = rows_of[lead][ri]
         bc = bag_caches.setdefault(lead, {})
-        key = (0, i if lr["n_bags"] > 1 else 0)
+        key = (ri, b if n_bags > 1 else 0)
         if key not in bc:
-            bc[key] = _decode_bag(
-                lr["row"], i, lr["pre"], lr["n"], lr["n_bags"]
-            )
+            bc[key] = _decode_bag(r, b, pre, n, n_bags)
         cand, lead_tfs = bc[key]
-        tf_by_term = {lead: lead_tfs}
+        # per-term decoded VIEWS covering the candidates (the lead's
+        # view is the bag itself); scoring + phrase intersect do their
+        # own searchsorted into the views, so multi-generation
+        # selective decodes need no alignment bookkeeping here
+        if phrase:
+            pc = pos_caches.setdefault(lead, {})
+            if key not in pc:
+                pc[key] = _decode_bag_positions(r, b, lead_tfs, n_bags)
+            views = {lead: (cand, lead_tfs, pc[key], None)}
+        else:
+            views = {lead: (cand, lead_tfs, None, None)}
         for t in others:
-            ids_t, tfs_t, _, _ = _decode_term_selective(
-                rows_by_term[t], cand, bag_caches.setdefault(t, {})
+            ids_t, tfs_t, pl_t, _ = _decode_term_selective(
+                rows_by_term[t], cand, bag_caches.setdefault(t, {}),
+                with_positions=phrase,
+                pos_cache=(
+                    pos_caches.setdefault(t, {}) if phrase else None
+                ),
             )
-            keep = np.isin(cand, ids_t)
-            if not keep.all():
-                cand = cand[keep]
-                tf_by_term = {u: v[keep] for u, v in tf_by_term.items()}
+            views[t] = (ids_t, tfs_t, pl_t, None)
+            cand = cand[np.isin(cand, ids_t)]
             if cand.size == 0:
                 break
-            tf_by_term[t] = tfs_t[np.searchsorted(ids_t, cand)]
         if cand.size == 0:
             continue
-        denom = cache[codes_for(cand)]
-        scores = np.zeros(cand.size, dtype=np.float64)
-        for t in uniq:
-            tf = tf_by_term[t].astype(np.float64)
-            scores += weight[t] * idfs[t] * ((tf * (k1 + 1.0)) / (tf + denom))
+        if phrase:
+            cand, _, _ = _phrase_intersect(views, terms_l, cand)
+            if cand.size == 0:
+                continue
+        codes = codes_for(cand)
+        scores = _bm25_scores(views, terms_l, cand, codes, idfs, cache, k1)
         ids_parts.append(cand)
         score_parts.append(scores)
         merged = np.concatenate((topk_buf, scores))
@@ -1116,7 +1217,19 @@ def compact_index(spark: SparkSession, index_dir: str, out_dir: str) -> None:
     bloom pruning re-activates (multi-generation rows skip it)."""
     with open(f"{index_dir}/stats.json") as f:
         meta = json.load(f)
-    segs = spark.read.parquet(f"{index_dir}/segments")
+    # manifest-pinned read (read_segments lacks the generation column's
+    # partition discovery only for non-generational dirs, where gen=0):
+    # explicit paths + basePath keep `generation` available to the merge
+    from wiser_spark.streaming.incremental import read_generations
+
+    gens = read_generations(index_dir)
+    if gens is None:
+        segs = spark.read.parquet(f"{index_dir}/segments")
+    else:
+        base = f"{index_dir}/segments"
+        segs = spark.read.option("basePath", base).parquet(
+            *[f"{base}/generation={g}" for g in gens]
+        )
     nbytes = (meta.get("bloom") or {}).get("nbytes")
     compact_segments(segs, nbytes).write.mode("overwrite").partitionBy(
         "shard_id"
@@ -1179,27 +1292,62 @@ def decode_segment_row(
     return doc_ids, tfs, positions, offsets
 
 
+def read_segments(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The segments table of an index dir, pinned to the LIVE
+    generation set when a ``generations.json`` manifest exists (all
+    streaming/batched writers publish one; the manifest flips with one
+    atomic os.replace, so this read is consistent across a concurrent
+    compaction swap). Non-generational indexes (write_index /
+    write_index_mapside / compact_index outputs) and pre-manifest
+    indexes read the directory as before."""
+    from wiser_spark.streaming.incremental import read_generations
+
+    base = f"{index_dir}/segments"
+    gens = read_generations(index_dir)
+    if gens is None:
+        return spark.read.schema(SEGMENT_SCHEMA).parquet(base)
+    if not gens:
+        return spark.createDataFrame([], SEGMENT_SCHEMA)
+    return (
+        spark.read.option("basePath", base)
+        .schema(SEGMENT_SCHEMA)
+        .parquet(*[f"{base}/generation={g}" for g in gens])
+    )
+
+
 class SegmentIndex:
     """Query engine over a written index directory."""
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 scan_coalesce: int | None = None):
+        """``scan_coalesce``: coalesce the segments scan to this many
+        partitions (post-read, pre-cache). The shard KERNEL still runs
+        per shard group — correctness is untouched — but a big index
+        otherwise scans one task per (shard, file) and an interactive
+        single query then pays ~n_shards task schedulings for 10 rows
+        (the round-4 3.4 s floor at 20M docs / 128 shards). Guideline:
+        n_shards sizes SHUFFLE groups for the build (bounded by shard
+        doc count), while scan parallelism for serving only needs
+        ~2x the executor cores — set scan_coalesce to that when serving
+        interactive single queries from a cached index; leave None for
+        batch serving, where one pass answers the whole log anyway."""
         self.spark = spark
         self.index_dir = index_dir
-        # a streaming index whose auto-compaction crashed mid-swap
-        # self-heals here (journal rolls forward) before any table
-        # read — readers must not depend on the next micro-batch for
-        # recovery (lazy import: incremental imports this module)
-        from wiser_spark.streaming.incremental import recover_compaction
-
-        recover_compaction(index_dir)
         with open(f"{index_dir}/stats.json") as f:
             self.meta = json.load(f)
         self.params = BM25Params(k1=self.meta["k1"], b=self.meta["b"])
         self.stats = CorpusStats(self.meta["n_docs"], self.meta["avgdl"])
-        # explicit schemas keep a degenerate (empty-corpus) index readable
-        self.segments = spark.read.schema(SEGMENT_SCHEMA).parquet(
-            f"{index_dir}/segments"
-        )
+        # explicit schemas keep a degenerate (empty-corpus) index
+        # readable. Generational (streaming) indexes resolve the LIVE
+        # generation set from the atomic manifest, NOT a directory
+        # listing — a compaction swap is invisible until its single
+        # manifest flip, so a reader of a crashed (torn) swap sees the
+        # consistent pre-flip state with no recovery step; journal
+        # application is writer-only (r04 advisory: a reader applying
+        # the journal could race the writer's own application)
+        self.segments = read_segments(spark, index_dir)
+        if scan_coalesce:
+            self.segments = self.segments.coalesce(int(scan_coalesce))
         # dictionary is the hot lookup table of every query (the
         # reference mmaps my.tip once) — cache it. bytes/prefetch_pages
         # are the reference's .tip prefetch-zone field analogue
@@ -1249,7 +1397,11 @@ class SegmentIndex:
         cached dictionary DataFrame) OUTSIDE any query's timing — the
         reference pays its .tip mmap at engine load, not on the first
         query (vacuum_engine.h:119-142). Call once after __init__ in
-        latency-sensitive serving; idempotent."""
+        latency-sensitive serving; idempotent — including past the
+        driver-cache cap, where the materialization job is memoized so
+        a second warmup() costs zero Spark jobs (r04 item 6)."""
+        if getattr(self, "_warmed", False):
+            return self
         self._dict_lookup([])
         if self._dict_mem is None:
             # vocabulary over the driver-cache cap: lookups stay
@@ -1257,6 +1409,7 @@ class SegmentIndex:
             # DataFrame here instead — otherwise the first query pays
             # the parquet scan + cache fill this method exists to move
             self.dictionary.count()
+        self._warmed = True
         return self
 
     def _dict_lookup(self, terms: list[str]) -> dict:
@@ -1338,6 +1491,19 @@ class SegmentIndex:
         partial_set = partial_decode_terms(
             qlist, pages_map, pos_terms, off_terms
         )
+        # phrase block-max eligibility (r04 item 2): a phrase TERM is
+        # excluded from partial_set (its positions must decode), but
+        # the phrase scorer decodes positions at BAG granularity for
+        # surviving candidates only — so eligibility here ignores
+        # pos_terms membership and keeps the size + no-offsets gates
+        phrase_bm_set = {
+            t
+            for _, terms_l2, ph2 in qlist
+            if ph2
+            for t in terms_l2
+            if t not in off_terms
+            and (pages_map.get(t) or 0) >= PARTIAL_DECODE_MIN_PAGES
+        }
 
         seg_cols = [
             "shard_id", "term", "df_shard", "docids_blob", "tfs_blob",
@@ -1382,6 +1548,7 @@ class SegmentIndex:
             # queries' candidate bags, not a full decode each)
             decoded: dict = {}
             bag_caches: dict[str, dict] = {}
+            pos_bag_caches: dict[str, dict] = {}
 
             def get_full(t):
                 if t not in decoded:
@@ -1449,6 +1616,35 @@ class SegmentIndex:
                     )
                     if bmc is not None:
                         winners, wscores = bmc
+                        if winners.size:
+                            out_q.extend([qid] * winners.size)
+                            out_d.append(winners)
+                            out_s.append(wscores)
+                            if need_off:
+                                out_o.extend([None] * winners.size)
+                        continue
+                # phrase block-max (r04 item 2): the conjunction bound
+                # is a true upper bound for phrase winners (phrase
+                # score = plain BM25, the match only gates inclusion),
+                # so the same lead-bag scan runs with a positional
+                # check on surviving candidates — bags below θ never
+                # decode ids, tfs, or positions
+                if (
+                    len(terms_l) > 1
+                    and ph
+                    and qid not in offs_qids
+                    and all(
+                        t in phrase_bm_set and t not in decoded
+                        for t in set(terms_l)
+                    )
+                ):
+                    bmp = _topk_blockmax_conj(
+                        rows_by_term, terms_l, k, idfs, cache, k1,
+                        codes_for, bag_caches, phrase=True,
+                        pos_caches=pos_bag_caches,
+                    )
+                    if bmp is not None:
+                        winners, wscores = bmp
                         if winners.size:
                             out_q.extend([qid] * winners.size)
                             out_d.append(winners)

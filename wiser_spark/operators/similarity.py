@@ -264,8 +264,6 @@ def write_ivf_index(
     import json
     import os
 
-    from pyspark.sql import Window
-
     from wiser_spark.operators.dedup import md5_long
 
     emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -280,16 +278,28 @@ def write_ivf_index(
     cents = base.filter(F.col("vec_id").isin(centroid_ids)).select(
         F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
     )
+    # assignment = argmax over |C| cosines per vector. SCALE SHAPE: the
+    # N x |C| scored rows carry ONLY (vec_id, cid, cos) — never the
+    # embedding — and collapse through a groupBy MAX of an ordering
+    # struct (cos desc, cid asc via negated cid), which partial-
+    # aggregates map-side: the shuffle moves ~N tiny rows, not N x |C|
+    # (the round-4 window formulation shuffled the full cross product
+    # WITH embeddings — a non-starter at 10^6 x 10^3). Tie semantics
+    # are unchanged (max cos, then LOWER cid) and float comparisons are
+    # exact, so assignments — and the DuckDB oracle gate — are
+    # bit-identical to the window form.
     scored = base.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "emb", "cid",
+        "vec_id", "cid",
         cosine_col(F.col("emb"), F.col("cemb")).alias("cos"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cid"))
-    assigned = (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", "emb", F.col("cid").alias("cell"))
-    )
+    best = scored.groupBy("vec_id").agg(
+        F.max(
+            F.struct(
+                F.col("cos").alias("c"), (-F.col("cid")).alias("nc")
+            )
+        ).alias("m")
+    ).select("vec_id", (-F.col("m.nc")).alias("cell"))
+    assigned = base.join(best, "vec_id").select("vec_id", "emb", "cell")
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
         f"{index_dir}/cells"
     )

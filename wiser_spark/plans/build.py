@@ -117,6 +117,11 @@ class IndexBuildPipeline:
                 else assign_doc_ids(self.source, self.order_cols)
             )
             out.write.mode("overwrite").parquet(d)
+            # the write was the one action over the assignment: release
+            # its pinned shuffle layout eagerly (r04 advisory)
+            pinned = getattr(out, "_wiser_pinned", None)
+            if pinned is not None:
+                pinned.unpersist()
 
         fp_docs = self._run_stage("docs", fp0, write_docs)
         docs = self.spark.read.parquet(self._out("docs"))
@@ -278,37 +283,73 @@ def build_index_mapside_batched(
             ).write.mode("overwrite").partitionBy("_batch").parquet(staged_src)
         bucketed = spark.read.parquet(staged_src)
 
+    # ------------------------------------------------- pipelined commits
+    # batch i's PREPARE (range-sort + the one stats job; writes nothing
+    # durable) runs in a helper thread CONCURRENTLY with batch i-1's
+    # encode+publish — the prepare's serial segments (range sampling
+    # barrier, driver collect, job scheduling) hide under the encode's
+    # task work instead of idling every core between batches (the
+    # round-4 scaling gap: ~18 s of non-scaling work per batch). Commit
+    # ORDER is unchanged — publishes and commit-log appends stay strictly
+    # sequential, so exactly-once and dense docID ranges are untouched;
+    # a crash mid-pipeline loses only in-memory prepares.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _prepare(b: int):
+        return indexer.prepare_batch(
+            bucketed.filter(F.col("_batch") == b).drop("_batch")
+        )
+
+    indexer._recover_compaction()  # heal a crashed prior run's swap once
+    next_prep: dict = {}
+    pool = ThreadPoolExecutor(max_workers=1)
+
+    def _schedule(after: int):
+        for nb in uncommitted:
+            if nb > after:
+                next_prep[nb] = pool.submit(_prepare, nb)
+                return
+
+    if uncommitted:
+        next_prep[uncommitted[0]] = pool.submit(_prepare, uncommitted[0])
+
     processed_any = False
-    for b in range(n_batches):
-        stage = f"batch_{b}"
-        committed = str(b) in indexer._read_commits()
-        if committed and stage in manifest.entries:
-            continue  # resumed: slice indexed AND lineage recorded
-        if not committed:
-            with StageTimer() as t:
-                indexer.process_batch(
-                    bucketed.filter(F.col("_batch") == b).drop("_batch"),
-                    b, refresh_meta=False,
-                )
-            wall = t.wall_s
-            processed_any = True
-        else:
-            # crashed between commit-log append and manifest.record:
-            # backfill the entry from the durable artifacts
-            wall = 0.0
-        gen_dir = f"{index_dir}/segments/generation={b}"
-        files, total_bytes = (
-            dir_lineage(gen_dir) if os.path.isdir(gen_dir) else ([], 0)
-        )
-        n = indexer._read_commits().get(str(b), [0, 0])[1]
-        manifest.record(
-            StageEntry(
-                stage=stage, status="complete",
-                input_fingerprint=fingerprint("batch", b, n_batches, src_fp),
-                output_fingerprint=fingerprint("gen", b, n, total_bytes),
-                rows=n, bytes=total_bytes, wall_s=wall, files=files,
+    try:
+        for b in range(n_batches):
+            stage = f"batch_{b}"
+            committed = str(b) in indexer._read_commits()
+            if committed and stage in manifest.entries:
+                continue  # resumed: slice indexed AND lineage recorded
+            if not committed:
+                with StageTimer() as t:
+                    prep = next_prep.pop(b).result()
+                    _schedule(b)  # overlap NEXT prepare with this encode
+                    indexer.commit_prepared(
+                        spark, b, prep, refresh_meta=False
+                    )
+                wall = t.wall_s
+                processed_any = True
+            else:
+                # crashed between commit-log append and manifest.record:
+                # backfill the entry from the durable artifacts
+                wall = 0.0
+            gen_dir = f"{index_dir}/segments/generation={b}"
+            files, total_bytes = (
+                dir_lineage(gen_dir) if os.path.isdir(gen_dir) else ([], 0)
             )
-        )
+            n = indexer._read_commits().get(str(b), [0, 0])[1]
+            manifest.record(
+                StageEntry(
+                    stage=stage, status="complete",
+                    input_fingerprint=fingerprint(
+                        "batch", b, n_batches, src_fp
+                    ),
+                    output_fingerprint=fingerprint("gen", b, n, total_bytes),
+                    rows=n, bytes=total_bytes, wall_s=wall, files=files,
+                )
+            )
+    finally:
+        pool.shutdown(wait=True)
     # ONE dictionary fold + stats for the whole build (also covers a
     # resume whose crashed run never refreshed)
     if processed_any or not os.path.exists(f"{index_dir}/stats.json"):

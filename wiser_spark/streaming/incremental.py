@@ -28,6 +28,19 @@ sink is made idempotent:
 Query-time global stats (N, avgdl, df) shift as documents arrive; the
 engine recomputes them from the accumulated docstats/dictionary tables at
 query time, so results always reflect the ingested prefix exactly.
+
+READ ISOLATION (round-5 redesign, closes the r04 advisory findings): the
+live generation set is published through ``generations.json``, updated
+with ONE atomic os.replace per change. Readers (SegmentIndex,
+compact_index) resolve generations from the manifest — never from a
+directory listing — so a compaction swap is invisible until its single
+manifest flip, and a crashed swap leaves readers on the consistent
+pre-flip state with zero recovery work. Merged generations install under
+FRESH ids (>= MERGED_GEN_BASE, outside the micro-batch id space), so an
+install never replaces a live directory. Journal application is
+WRITER-ONLY (guarded by ``compaction.lock``): two processes can no
+longer race a rmtree/rename pair, and a reader can never destroy a
+writer's in-flight swap.
 """
 
 from __future__ import annotations
@@ -47,49 +60,155 @@ from wiser_spark.operators.segments import build_segments, prefetch_pages_col
 
 _TABLES = ("segments", "docstats", "dictionary_deltas")
 
+# merged generations install OUTSIDE the micro-batch id space: ids are
+# max(MERGED_GEN_BASE, max(existing)+1), so an install NEVER collides
+# with a live directory (the r04 advisory's lost-generation race is
+# structurally impossible: nothing ever rmtree's an install target) and
+# a future micro-batch id can never shadow a merged generation
+MERGED_GEN_BASE = 1 << 40
+
+# a compaction.lock older than this is presumed to belong to a dead
+# process and is stolen (single-writer is the sink's contract; the lock
+# only defends against contract violations and crash leftovers)
+LOCK_STALE_S = 900.0
+
+
+def _manifest_path(index_dir: str) -> str:
+    return f"{index_dir}/generations.json"
+
+
+def read_generations(index_dir: str) -> list[int] | None:
+    """The LIVE generation set from the atomic manifest, or None when
+    the index predates manifests (readers then fall back to directory
+    listing — the pre-round-5 behavior)."""
+    try:
+        with open(_manifest_path(index_dir)) as f:
+            return sorted(int(g) for g in json.load(f)["generations"])
+    except (FileNotFoundError, json.JSONDecodeError, KeyError):
+        return None
+
+
+def _write_generations(index_dir: str, gens) -> None:
+    """Atomically publish the live generation set (ONE os.replace —
+    readers see the old set or the new set, never a mix)."""
+    path = _manifest_path(index_dir)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"generations": sorted(int(g) for g in gens)}, f)
+    os.replace(tmp, path)
+
 
 def _apply_compaction_journal(index_dir: str, journal: dict) -> None:
-    """Apply (or re-apply) a journalled compaction swap. IDEMPOTENT:
-    every step checks before acting, so a crash at any point is healed
-    by running it again — remove the merged-away generation dirs, move
-    each staged dir in as generation=<target>, drop the journal."""
+    """Apply (or re-apply) a journalled compaction swap, WRITER-ONLY
+    (callers hold compaction.lock via recover_compaction, or are the
+    single streaming writer mid-compaction). Order matters:
+
+      1. install each staged table at generation=<target> — target is a
+         FRESH id (MERGED_GEN_BASE namespace), so the rename never
+         replaces a live dir; already-installed tables are skipped, a
+         missing source with a missing target RAISES (never silently
+         drop merged postings — r04 advisory);
+      2. flip the manifest: live set = (old - removed) + {target}, one
+         atomic os.replace — the commit point readers observe;
+      3. remove the merged-away generation dirs (logically dead after
+         the flip; only readers that pinned the pre-flip set and are
+         still scanning can notice, and they fail LOUDLY on the missing
+         files rather than silently losing documents);
+      4. drop the journal and staging leftovers.
+
+    IDEMPOTENT: a crash at any point is healed by running it again."""
     target = int(journal["target"])
     staging = journal["staging"]
+    if not os.path.isabs(staging):
+        # journals record table-relative staging paths so a recovering
+        # process with a different working directory still resolves
+        # them (r04 advisory); absolute paths (old journals) pass through
+        staging = os.path.join(index_dir, staging)
     for table in journal["tables"]:
-        for g in journal["remove"]:
-            d = f"{index_dir}/{table}/generation={g}"
-            if int(g) != target and os.path.isdir(d):
-                shutil.rmtree(d)
         src = f"{staging}/{table}"
         dst = f"{index_dir}/{table}/generation={target}"
-        if os.path.isdir(src):
-            if os.path.isdir(dst):
-                shutil.rmtree(dst)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            os.rename(src, dst)
+        if os.path.isdir(dst):
+            continue  # this table already installed by a prior attempt
+        if not os.path.isdir(src):
+            raise RuntimeError(
+                f"compaction journal at {index_dir!r} names staged source "
+                f"{src!r} which does not exist and target generation "
+                f"{target} is not installed — refusing to apply (the "
+                "merged-away generations would be lost); inspect "
+                "_staging/ and the journal before removing it by hand"
+            )
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.rename(src, dst)
+    gens = read_generations(index_dir)
+    if gens is not None:
+        removed = {int(g) for g in journal["remove"]}
+        _write_generations(index_dir, (set(gens) - removed) | {target})
+    for table in journal["tables"]:
+        for g in journal["remove"]:
+            if int(g) != target:
+                shutil.rmtree(
+                    f"{index_dir}/{table}/generation={g}", ignore_errors=True
+                )
     jpath = f"{index_dir}/compaction.json"
-    if os.path.exists(jpath):
+    try:
         os.remove(jpath)
+    except FileNotFoundError:
+        pass
     shutil.rmtree(staging, ignore_errors=True)
 
 
 def recover_compaction(index_dir: str, sweep: bool = False) -> None:
-    """Heal a compaction interrupted mid-swap by ROLLING IT FORWARD
-    from the journal (the staged merged data is durable before the
-    journal exists — see IncrementalIndexer.compact_generations). A
-    missing journal means nothing to do. Called from every
-    process_batch AND from SegmentIndex load, so offline readers of a
-    crashed stream's index self-heal too. ``sweep`` additionally clears
-    dead staging files from a pre-journal crash — only the WRITER
-    passes it (a reader must not delete another process's in-flight
-    staging; single-writer is the sink's contract)."""
+    """Roll a crashed compaction FORWARD from the journal (the staged
+    merged data is durable before the journal exists — see
+    IncrementalIndexer.compact_generations). WRITER-ONLY: readers never
+    call this — the generations manifest already gives them a
+    consistent (pre-flip) view of a torn swap, so recovery is not
+    needed to read, and a reader applying the journal could race the
+    writer's own application (the r04 high-severity finding). An
+    exclusive ``compaction.lock`` (O_CREAT|O_EXCL, stale after
+    LOCK_STALE_S) serializes the rare overlapping-recovery case.
+    ``sweep`` additionally clears dead staging files from a pre-journal
+    crash."""
     jpath = f"{index_dir}/compaction.json"
-    if os.path.exists(jpath):
-        with open(jpath) as f:
-            journal = json.load(f)
-        _apply_compaction_journal(index_dir, journal)
-    elif sweep:
-        shutil.rmtree(f"{index_dir}/_staging/compact", ignore_errors=True)
+    if not os.path.exists(jpath):
+        if sweep:
+            shutil.rmtree(f"{index_dir}/_staging/compact", ignore_errors=True)
+        return
+    lock = f"{index_dir}/compaction.lock"
+    fd = None
+    for attempt in (0, 1):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            try:
+                import time
+
+                stale = time.time() - os.path.getmtime(lock) > LOCK_STALE_S
+            except OSError:
+                continue  # lock vanished: retry acquisition
+            if stale and attempt == 0:
+                try:
+                    os.remove(lock)  # steal a dead process's lock
+                except FileNotFoundError:
+                    pass
+            else:
+                return  # live holder is applying; nothing to do here
+    if fd is None:
+        return
+    try:
+        if os.path.exists(jpath):  # may have been applied by the holder
+            with open(jpath) as f:
+                journal = json.load(f)
+            _apply_compaction_journal(index_dir, journal)
+        if sweep:
+            shutil.rmtree(f"{index_dir}/_staging/compact", ignore_errors=True)
+    finally:
+        os.close(fd)
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
 
 
 class IncrementalIndexer:
@@ -182,57 +301,66 @@ class IncrementalIndexer:
         os.replace(tmp, self._commit_path)  # atomic on POSIX
 
     # ---------------------------------------------------------- the sink
-    def process_batch(
-        self, batch: DataFrame, batch_id: int, refresh_meta: bool = True
-    ) -> None:
-        spark = batch.sparkSession
-        os.makedirs(self.index_dir, exist_ok=True)
-        self._recover_compaction()
-        commits = self._read_commits()
-        if str(batch_id) in commits:
-            # at-least-once replay of a committed batch: a no-op (but
-            # make sure the queryable metadata exists)
-            if not os.path.exists(f"{self.index_dir}/stats.json"):
-                self._refresh_meta(spark)
-            return
-        if batch.isEmpty():
-            self._append_commit(commits, batch_id, self._next_doc_id(commits), 0)
-            return
-        offset = self._next_doc_id(commits)
-        # dense IDs continue the committed sequence; assignment uses the
-        # distributed range-partition scheme (assign_doc_ids), NOT a
-        # bare window — a resumable BATCH build feeds whole corpus
-        # slices through this sink, and a single-partition
-        # row_number() over a 10^9-doc batch is the exact anti-pattern
-        # assign_doc_ids exists to avoid. Same deterministic total
-        # order on order_cols, so micro-batches get identical ids.
-        from wiser_spark.operators.postings import assign_doc_ids
+    def prepare_batch(self, batch: DataFrame):
+        """The SHUFFLE-AND-STATS half of a batch, split out so the
+        resumable batched build can PIPELINE it: preparing batch i+1
+        (docID sort + the one stats pass) runs concurrently with batch
+        i's encode — prepare writes nothing durable, so exactly-once is
+        untouched. Returns an opaque prep dict for commit_prepared.
 
-        docs = assign_doc_ids(batch, self.order_cols, checkpoint=True).withColumn(
+        Dense IDs use the distributed range-partition scheme
+        (assign_doc_ids), NOT a bare window — a single-partition
+        row_number() over a 10^9-doc batch is the exact anti-pattern it
+        exists to avoid. IDs here are 0-based; commit_prepared adds the
+        commit log's offset (a free withColumn). The batch's row count
+        and (v2) summed doc length ride in assign_doc_ids' OWN stats
+        job — no separate count() pass over the corpus slice."""
+        from wiser_spark.functions.tokenize import doclen_col
+        from wiser_spark.operators.postings import assign_doc_ids_with_stats
+
+        aggs = []
+        if self.fmt == "v2":
+            # avgdl bookkeeping rides in the commit log (no docstats
+            # table in v2 — sentinels carry per-doc lengths)
+            aggs.append(
+                F.sum(
+                    doclen_col(F.col(self.content_col)).cast("long")
+                ).alias("lensum")
+            )
+        docs0, totals, pinned = assign_doc_ids_with_stats(
+            batch, self.order_cols, aggs
+        )
+        n_docs = int(totals["_n"])
+        lensum = int(totals.get("lensum") or 0) if self.fmt == "v2" else None
+        return {
+            "docs0": docs0, "n_docs": n_docs, "lensum": lensum,
+            "pinned": pinned,
+        }
+
+    def commit_prepared(
+        self, spark: SparkSession, batch_id: int, prep: dict,
+        refresh_meta: bool = True,
+    ) -> None:
+        """Encode + publish + commit one PREPARED batch (see
+        prepare_batch). The caller must have verified batch_id is not
+        already committed."""
+        commits = self._read_commits()
+        offset = self._next_doc_id(commits)
+        n_docs, lensum = prep["n_docs"], prep["lensum"]
+        if n_docs == 0:
+            prep["pinned"].unpersist()
+            self._append_commit(commits, batch_id, offset, 0)
+            return
+        docs = prep["docs0"].withColumn(
             "doc_id", (F.col("doc_id") + F.lit(offset)).cast("long")
         )
         staging = f"{self.index_dir}/_staging/{batch_id}"
-        lensum = None
-        obs = None
-        if self.fmt == "v2":
-            # fold the batch's summed doc length into the SAME job as
-            # the count — a separate agg pass was ~a third of each
-            # batch's serial overhead in the 20M-doc scaling runs
-            from pyspark.sql import Observation
-
-            from wiser_spark.functions.tokenize import doclen_col
-
-            obs = Observation(f"wiser_batch_{batch_id}")
-            docs = docs.observe(
-                obs,
-                F.sum(
-                    doclen_col(F.col(self.content_col)).cast("long")
-                ).alias("lensum"),
-            )
-        n_docs = docs.count()
         if self.fmt == "v2":
             from wiser_spark.operators.mapside import build_segments_mapside
-            from wiser_spark.operators.segments import SEGMENT_SCHEMA
+            from wiser_spark.operators.segments import (
+                SEGMENT_SCHEMA,
+                dictionary_from_segments,
+            )
 
             segs = build_segments_mapside(
                 docs, self.config.n_shards, self.content_col,
@@ -241,24 +369,23 @@ class IncrementalIndexer:
             segs.write.mode("overwrite").partitionBy("shard_id").parquet(
                 f"{staging}/segments"
             )
+            # the encode was the ONE action over the sorted slice: the
+            # pinned shuffle layout can release now (r04 advisory: the
+            # context cleaner is too lazy for a 10^12-file ingest)
+            prep["pinned"].unpersist()
             # dictionary delta from the STAGED rows (plain term rows
             # only) — no second tokenize pass over the batch
             staged = spark.read.schema(SEGMENT_SCHEMA).parquet(
                 f"{staging}/segments"
             )
-            from wiser_spark.operators.segments import (
-                dictionary_from_segments,
-            )
-
             dictionary_from_segments(staged).select(
                 "term", "df", "bytes_docid_tf"
             ).write.mode("overwrite").parquet(f"{staging}/dictionary_deltas")
-            # running avgdl bookkeeping rides in the commit log (no
-            # docstats table in v2 — sentinels carry per-doc lengths);
-            # the sum was observed during the count() job above
-            lensum = int(obs.get["lensum"] or 0)
             tables = ("segments", "dictionary_deltas")
         else:
+            # v1 runs THREE jobs over the slice: pin it once, eagerly
+            docs = docs.localCheckpoint(eager=True)
+            prep["pinned"].unpersist()
             postings = build_postings(docs, content_col=self.content_col)
             docstats = build_docstats(docs, content_col=self.content_col)
             build_segments(postings, self.config.n_shards).write.mode(
@@ -282,6 +409,14 @@ class IncrementalIndexer:
                 shutil.rmtree(dst)
             os.rename(f"{staging}/{table}", dst)
         shutil.rmtree(staging, ignore_errors=True)
+        # publish the new generation in the atomic manifest BEFORE the
+        # commit record (readers resolve generations from the manifest;
+        # an uncommitted manifest entry is harmless — the dir exists and
+        # the retry republishes identical data)
+        gens = read_generations(self.index_dir)
+        cur = set(gens) if gens is not None else set(self._generations())
+        cur.add(int(batch_id))
+        _write_generations(self.index_dir, cur)
         self._append_commit(commits, batch_id, offset, n_docs, lensum)
         # refresh_meta=False defers the vocabulary-sized dictionary fold
         # (the batched build refreshes ONCE after its last batch instead
@@ -291,9 +426,33 @@ class IncrementalIndexer:
             self._maybe_compact(spark)
             self._refresh_meta(spark)
 
+    def process_batch(
+        self, batch: DataFrame, batch_id: int, refresh_meta: bool = True
+    ) -> None:
+        spark = batch.sparkSession
+        os.makedirs(self.index_dir, exist_ok=True)
+        self._recover_compaction()
+        commits = self._read_commits()
+        if str(batch_id) in commits:
+            # at-least-once replay of a committed batch: a no-op (but
+            # make sure the queryable metadata exists)
+            if not os.path.exists(f"{self.index_dir}/stats.json"):
+                self._refresh_meta(spark)
+            return
+        self.commit_prepared(
+            spark, batch_id, self.prepare_batch(batch),
+            refresh_meta=refresh_meta,
+        )
+
     # ------------------------------------------------- auto-compaction
     def _generations(self, table: str = "segments") -> list[int]:
-        """Committed generation ids present in a table directory."""
+        """Live generation ids: the atomic manifest when present (the
+        segments table — the set readers resolve), else the directory
+        listing (docstats, or indexes predating manifests)."""
+        if table == "segments":
+            gens = read_generations(self.index_dir)
+            if gens is not None:
+                return gens
         try:
             return sorted(
                 int(p.split("=", 1)[1])
@@ -373,32 +532,45 @@ class IncrementalIndexer:
             self.compact_generations(spark, gens)
 
     def compact_generations(self, spark: SparkSession, gens) -> None:
-        """Merge the given generation dirs into ONE (the max id of the
-        subset — future micro-batch ids are strictly larger), in place,
-        crash-safely:
+        """Merge the given generation dirs into ONE, in place,
+        crash-safely. The merged generation gets a FRESH id
+        (max(MERGED_GEN_BASE, max(existing)+1) — outside the micro-batch
+        id space), so the install is a rename into a dir that never
+        existed: no live data is ever removed to make room.
 
           1. the merged segments + folded dictionary deltas are STAGED
              outside the live table dirs;
-          2. a JOURNAL (compaction.json, atomic rename) records the
-             remove-list and the staged sources;
-          3. the swap applies (remove merged-away generation dirs, move
-             the staged dirs in), then the journal is deleted.
+          2. a JOURNAL (compaction.json, atomic rename; staging paths
+             recorded RELATIVE to the index dir) records the
+             remove-list and the fresh target id;
+          3. the swap applies (install target, flip the generations
+             manifest atomically, remove merged-away dirs), then the
+             journal is deleted.
 
         A crash before (2) leaves only dead staging files; a crash
-        after (2) is ROLLED FORWARD by ``recover_compaction`` — called
-        from every process_batch, every compaction, and SegmentIndex
-        load, so readers never see the torn state. Merging a SUBSET is
-        query-identical: remaining generations still merge per (shard,
-        term) at read time, and the dictionary fold is sum-associative.
-        Unmerged tables (docstats) are untouched — a flat table gains
-        nothing from fewer generations."""
+        after (2) is ROLLED FORWARD by ``recover_compaction`` on the
+        writer's next operation. Readers need NO recovery: the manifest
+        flip in step 3 is the single atomic commit point, so a reader
+        sees the consistent pre-flip set or the consistent post-flip
+        set, never a mix. Merging a SUBSET is query-identical:
+        remaining generations still merge per (shard, term) at read
+        time, and the dictionary fold is sum-associative. Unmerged
+        tables (docstats) are untouched — a flat table gains nothing
+        from fewer generations."""
         gens = sorted(int(g) for g in gens)
         if len(gens) < 2:
             return
         from wiser_spark.operators.segments import compact_segments
 
-        target = gens[-1]
-        staging = f"{self.index_dir}/_staging/compact"
+        all_gens = self._generations()
+        # ensure the manifest exists BEFORE the swap so the flip in
+        # _apply_compaction_journal is the readers' commit point (an
+        # index from an older round adopts its directory listing)
+        if read_generations(self.index_dir) is None:
+            _write_generations(self.index_dir, all_gens)
+        target = max(MERGED_GEN_BASE, max(all_gens) + 1)
+        staging_rel = "_staging/compact"
+        staging = f"{self.index_dir}/{staging_rel}"
         shutil.rmtree(staging, ignore_errors=True)
         try:
             with open(f"{self.index_dir}/stats.json") as f:
@@ -419,7 +591,7 @@ class IncrementalIndexer:
         journal = {
             "remove": gens,
             "target": target,
-            "staging": staging,
+            "staging": staging_rel,
             "tables": ["segments", "dictionary_deltas"],
         }
         jpath = f"{self.index_dir}/compaction.json"
