@@ -163,9 +163,14 @@ def write_lsh_index(
     if dim is None:
         dim = int(embeddings.select(F.size("embedding")).first()[0])
     b = _bucketed(embeddings, table_planes(n_planes, n_tables, dim))
-    b.write.mode("overwrite").partitionBy("tbl", "bucket").parquet(
-        f"{index_dir}/buckets"
-    )
+    # repartition ON the partition keys before partitionBy: each
+    # (tbl, bucket) dir then receives files from ONE task instead of
+    # one small file per (task x dir) — at 1M vectors x 8 tables x 2^10
+    # buckets the difference is ~1e4 files vs ~1e6 (file-count hygiene
+    # the 100 TB build needs; query plans are unchanged)
+    b.repartition(F.col("tbl"), F.col("bucket")).write.mode(
+        "overwrite"
+    ).partitionBy("tbl", "bucket").parquet(f"{index_dir}/buckets")
     os.makedirs(index_dir, exist_ok=True)
     with open(f"{index_dir}/lsh.json", "w") as f:
         json.dump({"n_planes": n_planes, "n_tables": n_tables, "dim": dim}, f)
@@ -300,9 +305,10 @@ def write_ivf_index(
         ).alias("m")
     ).select("vec_id", (-F.col("m.nc")).alias("cell"))
     assigned = base.join(best, "vec_id").select("vec_id", "emb", "cell")
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(
-        f"{index_dir}/cells"
-    )
+    # same file-count hygiene as the LSH writer: one task per cell dir
+    assigned.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{index_dir}/cells")
     # centroid VECTORS ride in the metadata (|C| rows) so a probe never
     # scans the cells table to find them
     cent_rows = cents.collect()
