@@ -113,30 +113,48 @@ def main() -> None:
     }
     if args.snippets:
         # standalone serving-flow treatment: one-shot map-side index +
-        # doc store share ONE docID assignment, so stored content and
-        # index postings align exactly (the snippet invariant holds)
+        # doc store over the SAME docs DataFrame, so stored content and
+        # index postings align exactly (the snippet invariant holds).
+        # docIDs are ARITHMETIC (doc_id*mult+rep — dense, deterministic
+        # across recomputes), the proven 20M one-shot scheme from
+        # scaling_job.py: the first attempt used assign_doc_ids, whose
+        # 20M-doc persisted range-sort plus 32 encode workers pushed
+        # the host past physical memory (OOM-killed at 13:14 in the
+        # r05 run) — no persist is needed when every recompute of the
+        # plan yields identical rows and ids
         import time as _t
 
         from wiser_spark.operators.docstore import write_doc_store
         from wiser_spark.operators.mapside import write_index_mapside
-        from wiser_spark.operators.postings import assign_doc_ids
 
+        docs = (
+            base.select("doc_id", F.col("text").alias("content"))
+            .withColumn(
+                "rep",
+                F.explode(F.sequence(F.lit(0), F.lit(args.mult - 1))),
+            )
+            .select(
+                (F.col("doc_id") * args.mult + F.col("rep")).cast("long")
+                .alias("doc_id"),
+                F.concat(
+                    F.col("content"), F.lit(" rep"),
+                    F.col("rep").cast("string")
+                ).alias("content"),
+            )
+            .repartition(args.n_shards)
+        )
         try:
-            assigned = assign_doc_ids(source, ("doc_key",))
-            docs = assigned.select("doc_id", "content")
             t0 = time.perf_counter()
             write_index_mapside(
                 docs, idx_dir,
                 IndexConfig(bm25=PARAMS, n_shards=args.n_shards),
+                reuse_partitions=True,
             )
             result["build_sec"] = round(time.perf_counter() - t0, 2)
-            pinned = getattr(assigned, "_wiser_pinned", None)
             store_dir = os.path.join(work, "store")
             t0 = time.perf_counter()
             write_doc_store(docs, store_dir)
             result["store_build_sec"] = round(time.perf_counter() - t0, 2)
-            if pinned is not None:
-                pinned.unpersist()
             import json as _json
 
             with open(f"{store_dir}/meta.json") as f:

@@ -196,3 +196,38 @@ def test_search_batch_snippets_match_single_path(spark, tmp_path):
     ).collect()]
     assert got_lake == sorted(want) == got_store
     assert len(got_lake) == 15 and all(r[4] for r in got_lake)
+
+
+def test_rewrite_failure_keeps_old_store_meta(spark, tmp_path):
+    """Rewriting an EXISTING store flips meta.json only after the new
+    extents are durable: a rewrite that fails before writing must leave
+    the old meta (codec/align) AND the old extents readable — flipping
+    the codec first would make every fetch mis-decode intact data."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from wiser_spark.operators.docstore import fetch_docs, write_doc_store
+
+    d = str(tmp_path / "store")
+    docs = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id")).alias("content"),
+    )
+    write_doc_store(docs, d, align=True)
+    with open(f"{d}/meta.json") as f:
+        m1 = json.load(f)
+    assert m1["align"] is True
+    # a rewrite that fails at PLAN time (before any data is touched):
+    # missing content column -> analysis error
+    with pytest.raises(Exception):
+        write_doc_store(docs, d, content_col="nope", align=False)
+    with open(f"{d}/meta.json") as f:
+        assert json.load(f) == m1  # old meta intact
+    got = {r["doc_id"]: r["content"]
+           for r in fetch_docs(spark, d, [0, 7]).collect()}
+    assert got == {0: "doc 0", 7: "doc 7"}  # old extents intact
+    # a SUCCESSFUL rewrite does flip the recorded settings
+    write_doc_store(docs, d, align=False)
+    with open(f"{d}/meta.json") as f:
+        assert json.load(f)["align"] is False

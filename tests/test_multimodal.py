@@ -169,3 +169,37 @@ def test_frame_sampling(blobs):
     assert len(row3) == (len(blob) + 127) // 128
     assert row3[0]["offset"] == 0 and row3[1]["offset"] == 128
     assert row3[0]["chunk_sha256"] == hashlib.sha256(blob[:128]).hexdigest()
+
+
+def test_float_wav_routes_to_soundfile(monkeypatch):
+    """A RIFF/WAVE blob that is NOT PCM16 (IEEE float, fmt=3) falls
+    through the pure-numpy decoder to soundfile when the library is
+    present, instead of failing the whole Arrow batch; without it the
+    explicit ValueError still surfaces."""
+    import struct
+
+    import numpy as np
+
+    import wiser_spark.operators.multimodal as mm
+
+    # minimal RIFF/WAVE with fmt=3 (IEEE float) and an empty data chunk
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    blob = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    monkeypatch.setattr(mm, "_SOUNDFILE", None)
+    with pytest.raises(ValueError, match="PCM16"):
+        mm._real_features(blob, 16)
+
+    class FakeSF:
+        @staticmethod
+        def read(f, dtype="float64"):
+            return np.linspace(-0.5, 0.5, 80), 8000
+
+    monkeypatch.setattr(mm, "_SOUNDFILE", FakeSF)
+    feats = mm._real_features(blob, 16)
+    assert len(feats) == 16
+    assert feats[0] == pytest.approx(8000 / 48000.0)  # sample rate
+    assert feats[1] == pytest.approx(80 / 1e6)        # length

@@ -317,3 +317,171 @@ def test_auto_compaction_tiered_trigger(spark, tmp_path, oracle,
     got = [tuple(r) for r in
            idx_healed.search(["return", "import"], k=10).collect()]
     assert got == want
+
+
+def _torn_legacy_state(spark, tmp_path, monkeypatch, n_docs=60):
+    """A 3-generation v2 index with a LEGACY-format torn compaction:
+    staged merge of generations [0, 1] on disk, journal whose target
+    REUSES live id 1 (pre-round-5 writers did this), no generations
+    manifest (legacy indexes predate it). Returns (index_dir, twin_dir,
+    indexer)."""
+    import json
+    import shutil
+
+    import wiser_spark.streaming.incremental as incmod
+    from wiser_spark.streaming.incremental import IncrementalIndexer
+
+    rows = make_corpus(n_docs)
+    cfg = IndexConfig(bm25=PARAMS, n_shards=3)
+    d = str(tmp_path / "legacy")
+    d_twin = str(tmp_path / "twin")
+    ix = IncrementalIndexer(d, cfg, fmt="v2")
+    tw = IncrementalIndexer(d_twin, cfg, fmt="v2")
+    step = n_docs // 3
+    for b in range(3):
+        batch = spark.createDataFrame(
+            rows[b * step : (b + 1) * step], SCHEMA
+        )
+        ix.process_batch(batch, b)
+        tw.process_batch(batch, b)
+    # stage the merge of [0, 1] but "crash" before any apply
+    monkeypatch.setattr(incmod, "recover_compaction", lambda *a, **k: None)
+    ix.compact_generations(spark, [0, 1])
+    monkeypatch.undo()
+    assert os.path.exists(f"{d}/compaction.json")
+    # rewrite the journal into the legacy shape: target = max of the
+    # merged subset (IN the remove list), and drop the manifest (legacy
+    # writers never produced one)
+    with open(f"{d}/compaction.json") as f:
+        j = json.load(f)
+    src = f"{d}/segments/generation={j['target']}"
+    if os.path.isdir(src):  # partially applied? ensure torn pre-install
+        shutil.rmtree(src)
+    j["target"] = 1
+    with open(f"{d}/compaction.json", "w") as f:
+        json.dump(j, f)
+    os.remove(f"{d}/generations.json")
+    return d, d_twin, ix
+
+
+def test_legacy_journal_recovery_replaces_target(spark, tmp_path,
+                                                 monkeypatch):
+    """A legacy journal's target is a LIVE generation id: recovery must
+    replace that dir with the staged merge — treating 'dst exists' as
+    'already installed' would silently drop the staged merge and then
+    delete generation 0's documents."""
+    import wiser_spark.streaming.incremental as incmod
+
+    d, d_twin, ix = _torn_legacy_state(spark, tmp_path, monkeypatch)
+    incmod.recover_compaction(d, sweep=True)
+    assert not os.path.exists(f"{d}/compaction.json")
+    gens = sorted(
+        int(p.split("=", 1)[1])
+        for p in os.listdir(f"{d}/segments")
+        if p.startswith("generation=")
+    )
+    assert gens == [1, 2]  # 0 merged away, 1 REPLACED by the merge
+    idx = SegmentIndex(spark, d)
+    twin = SegmentIndex(spark, d_twin)
+    assert idx.stats.n_docs == twin.stats.n_docs == 60
+    for terms, ph in [(["return"], False), (["return", "import"], False),
+                      (["return", "import"], True)]:
+        got = [tuple(r) for r in
+               idx.search(terms, k=10, is_phrase=ph).collect()]
+        want = [tuple(r) for r in
+                twin.search(terms, k=10, is_phrase=ph).collect()]
+        assert got == want and got, (terms, ph)
+
+
+def test_legacy_pre_manifest_torn_index_heals_on_read(spark, tmp_path,
+                                                      monkeypatch):
+    """A pre-manifest index with a pending journal has NO consistent
+    directory fallback: the read path must roll the journal forward
+    (lock-serialized) instead of silently listing a torn directory —
+    and must fail LOUDLY when another process holds the lock."""
+    d, d_twin, ix = _torn_legacy_state(spark, tmp_path, monkeypatch)
+    # a held (fresh) lock: reading must refuse rather than return a
+    # silently incomplete index
+    lock = f"{d}/compaction.lock"
+    with open(lock, "w"):
+        pass
+    with pytest.raises(RuntimeError, match="compaction.lock"):
+        SegmentIndex(spark, d)
+    os.remove(lock)
+    idx = SegmentIndex(spark, d)  # heals via lock-serialized recovery
+    assert not os.path.exists(f"{d}/compaction.json")
+    twin = SegmentIndex(spark, d_twin)
+    got = [tuple(r) for r in idx.search(["return", "import"], k=10).collect()]
+    want = [tuple(r) for r in
+            twin.search(["return", "import"], k=10).collect()]
+    assert got == want and got
+
+
+def test_stale_lock_stolen_by_rename(spark, tmp_path, monkeypatch):
+    """A compaction.lock older than LOCK_STALE_S belongs to a dead
+    process: recovery steals it (by rename — two stealers cannot both
+    acquire) and applies the journal."""
+    import time
+
+    import wiser_spark.streaming.incremental as incmod
+
+    d, d_twin, ix = _torn_legacy_state(spark, tmp_path, monkeypatch)
+    lock = f"{d}/compaction.lock"
+    with open(lock, "w"):
+        pass
+    old = time.time() - incmod.LOCK_STALE_S - 60
+    os.utime(lock, (old, old))
+    incmod.recover_compaction(d)
+    assert not os.path.exists(f"{d}/compaction.json")  # applied
+    assert not os.path.exists(lock)                    # released
+
+
+def test_empty_microbatch_fast_path(spark, tmp_path):
+    """Empty micro-batches (routine on a long-running stream) commit
+    with ONE cheap probe: no range-sort, no persist, no stats job —
+    and dense docIDs continue unbroken through them."""
+    import json
+
+    from wiser_spark.streaming.incremental import IncrementalIndexer
+
+    d = str(tmp_path / "idx")
+    ix = IncrementalIndexer(d, IndexConfig(bm25=PARAMS, n_shards=2),
+                            fmt="v2")
+    empty = spark.createDataFrame([], SCHEMA)
+    prep = ix.prepare_batch(empty)
+    assert prep["n_docs"] == 0 and prep["pinned"] is None
+    assert prep["docs0"] is None  # nothing staged, nothing pinned
+    ix.process_batch(empty, 0)
+    with open(f"{d}/commits.json") as f:
+        assert json.load(f)["0"][:2] == [0, 0]
+    rows = make_corpus(20)
+    ix.process_batch(spark.createDataFrame(rows, SCHEMA), 1)
+    idx = SegmentIndex(spark, d)
+    assert idx.stats.n_docs == 20
+    assert idx.search(["return"], k=5).count() > 0
+
+
+def test_commit_failure_releases_pinned_layout(spark, tmp_path,
+                                               monkeypatch):
+    """A failed encode must unpersist the prepared slice's pinned
+    shuffle layout (a retrying long-lived session would otherwise
+    accumulate one pinned intermediate per failure)."""
+    import wiser_spark.streaming.incremental as incmod
+    from wiser_spark.streaming.incremental import IncrementalIndexer
+
+    d = str(tmp_path / "idx")
+    ix = IncrementalIndexer(d, IndexConfig(bm25=PARAMS, n_shards=2),
+                            fmt="v2")
+    df = spark.createDataFrame(make_corpus(15), SCHEMA)
+    prep = ix.prepare_batch(df)
+    pinned = prep["pinned"]
+    assert pinned.is_cached
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated encode failure")
+
+    monkeypatch.setattr(incmod.IncrementalIndexer, "_encode_and_publish",
+                        boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        ix.commit_prepared(spark, 0, prep)
+    assert not pinned.is_cached

@@ -116,15 +116,24 @@ def write_doc_store(
     store's meta.json and honored by ``fetch_docs``."""
     codec = codec or default_codec()
     _codec_fns(codec)  # validate driver-side before launching the job
-    # meta.json is written BEFORE the extents job and atomically
-    # (tmp + os.replace) — a crash mid-build can leave extents without
-    # meta only in the legacy direction, never an lz4 store that a
-    # reader would mis-decode with the zlib fallback (r04 advisory)
+    # meta.json is written atomically (tmp + os.replace). For a FRESH
+    # store it goes down BEFORE the extents job — a crash mid-build can
+    # leave extents without meta only in the legacy direction, never an
+    # lz4 store that a reader would mis-decode with the zlib fallback
+    # (r04 advisory). For a REWRITE of an existing store the old meta
+    # must stay until the new extents are durable (flipping the codec
+    # first + a failed job would leave lz4 meta over intact zlib
+    # extents), so meta flips only after the overwrite succeeds.
     os.makedirs(store_dir, exist_ok=True)
-    tmp = f"{store_dir}/meta.json.tmp"
-    with open(tmp, "w") as f:
-        json.dump({"codec": codec, "align": bool(align)}, f)
-    os.replace(tmp, f"{store_dir}/meta.json")
+
+    def _put_meta():
+        tmp = f"{store_dir}/meta.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"codec": codec, "align": bool(align)}, f)
+        os.replace(tmp, f"{store_dir}/meta.json")
+
+    if not os.path.isdir(f"{store_dir}/extents"):
+        _put_meta()
     sel = docs.select(
         F.col("doc_id"), F.col(content_col).alias("content")
     ).sortWithinPartitions("doc_id")
@@ -179,6 +188,7 @@ def write_doc_store(
     sel.mapInPandas(pack, STORE_SCHEMA).write.mode("overwrite").parquet(
         f"{store_dir}/extents"
     )
+    _put_meta()  # rewrite case: flip the codec only over durable extents
 
 
 def _fetch_predicate(wanted: list[int]):

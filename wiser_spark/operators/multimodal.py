@@ -178,7 +178,21 @@ def _real_features(blob: bytes, dim: int) -> list[float]:
         w, h, px = decode_ppm(blob)
         return _image_summary(px.astype(np.float64) / 255.0, w, h, dim)
     if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
-        rate, samples = decode_wav(blob)
+        try:
+            rate, samples = decode_wav(blob)
+        except ValueError:
+            # non-PCM16 WAV (IEEE float, 24-bit, …): the pure-numpy
+            # decoder covers only PCM16 — route to soundfile when it
+            # exists rather than failing the batch
+            if _SOUNDFILE is None:
+                raise
+            import io
+
+            s, rate = _SOUNDFILE.read(io.BytesIO(bytes(blob)),
+                                      dtype="float64")
+            if s.ndim > 1:
+                s = s.mean(axis=1)
+            return _audio_summary(int(rate), s, dim)
         return _audio_summary(rate, samples.astype(np.float64) / 32768.0, dim)
     # library-backed containers, active only where the libs exist
     is_jpeg = head[:3] == b"\xff\xd8\xff"

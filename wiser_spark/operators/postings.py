@@ -35,32 +35,8 @@ def assign_doc_ids(
     add the per-partition base offset to a partition-local row_number —
     every step is parallel; the driver only sees one int per partition.
     """
-    order_cols = list(order_cols)
-    if n_partitions is None:
-        n_partitions = df.sparkSession.sparkContext.defaultParallelism
-    sorted_df = df.repartitionByRange(n_partitions, *order_cols).sortWithinPartitions(
-        *order_cols
-    )
-    # persist so the pid->count map and the final pass see the SAME
-    # partitioning (range boundaries come from sampling; pinning the
-    # materialized layout removes any recompute nondeterminism)
-    with_pid = sorted_df.withColumn("_pid", F.spark_partition_id()).persist()
-    # one tiny action: n_partitions rows of (pid, count)
-    counts = {
-        r["_pid"]: r["count"] for r in with_pid.groupBy("_pid").count().collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    offset_map = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
-    )
-    local = Window.partitionBy("_pid").orderBy(*order_cols)
-    out = with_pid.withColumn(
-        "doc_id",
-        (F.row_number().over(local) - 1 + offset_map[F.col("_pid")]).cast("long"),
-    ).drop("_pid")
+    out, _, with_pid = assign_doc_ids_with_stats(df, order_cols, None,
+                                                 n_partitions)
     if checkpoint:
         # pin the FINAL assignment (eager) so the intermediate cache can
         # be released immediately — repeated calls (one per batch in the
@@ -115,6 +91,9 @@ def assign_doc_ids_with_stats(
     sorted_df = df.repartitionByRange(
         n_partitions, *order_cols
     ).sortWithinPartitions(*order_cols)
+    # persist so the pid->count map and the final pass see the SAME
+    # partitioning (range boundaries come from sampling; pinning the
+    # materialized layout removes any recompute nondeterminism)
     with_pid = sorted_df.withColumn("_pid", F.spark_partition_id()).persist()
     agg_rows = with_pid.groupBy("_pid").agg(
         F.count(F.lit(1)).alias("_n"), *(aggs or [])

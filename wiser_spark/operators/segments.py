@@ -831,8 +831,37 @@ def _topk_blockmax_conj(rows_by_term, terms_l, k, idfs, cache, k1,
     def cache_fill():
         return sum(len(bag_caches.get(t, {})) for t in uniq)
 
-    budget = max(8, total_bags // 3) if prune_fallback else total_bags + 1
+    # phrase-mode work accounting: a bag's POSITIONAL decode (varint
+    # runs + per-doc array splits) costs several times its ids+tfs
+    # decode, and the generic phrase path decodes positions in ONE
+    # vectorized pass — so positional fills count POS_WEIGHT-fold
+    # against the same budget, and a scan that hasn't produced k phrase
+    # matches (θ still -inf) after a few bounded-best bags bails before
+    # the per-bag overhead exceeds what the generic path would spend
+    # (the 20M-doc r05 run measured the unweighted version at 1.8-2.8x
+    # SLOWER than generic on frequent-term phrases)
+    POS_WEIGHT = 3
+    NO_THETA_STEPS = 8
+
+    def pos_fill():
+        return sum(len(pos_caches.get(t, {})) for t in uniq)
+
+    # the floor scales with the phrase weighting so a tiny prunable
+    # phrase (one hot bag) is not priced out before its first step
+    floor = 8 * (1 + (POS_WEIGHT if phrase else 0))
+    budget = max(floor, total_bags // 3) if prune_fallback else (
+        (total_bags + 1) * (1 + POS_WEIGHT)
+    )
     spent0 = cache_fill()
+    pspent0 = pos_fill() if phrase else 0
+
+    def spend():
+        s = cache_fill() - spent0
+        if phrase:
+            s += POS_WEIGHT * (pos_fill() - pspent0)
+        return s
+
+    work_per_bag = (1 + len(others)) * (1 + (POS_WEIGHT if phrase else 0))
     ids_parts: list = []
     score_parts: list = []
     theta = -np.inf
@@ -841,11 +870,16 @@ def _topk_blockmax_conj(rows_by_term, terms_l, k, idfs, cache, k1,
         i = int(desc[step])
         if bounds[i] < theta:
             break  # bounds descend: everything after is < θ too
-        if cache_fill() - spent0 >= budget:
+        if spend() >= budget:
             return None  # θ buys too little here; generic path wins
+        if (
+            prune_fallback and phrase and theta == -np.inf
+            and step >= NO_THETA_STEPS
+        ):
+            return None  # no phrase winners among the best-bounded bags
         if prune_fallback and step % 16 == 0 and theta > -np.inf:
             n_surv = int(np.count_nonzero(bounds[desc[step:]] >= theta))
-            if (cache_fill() - spent0) + n_surv * (1 + len(others)) > budget:
+            if spend() + n_surv * work_per_bag > budget:
                 return None
         ri, b = int(l_ridx[i]), int(l_bidx[i])
         r, pre, n, n_bags = rows_of[lead][ri]
@@ -1225,6 +1259,12 @@ def compact_index(spark: SparkSession, index_dir: str, out_dir: str) -> None:
     gens = read_generations(index_dir)
     if gens is None:
         segs = spark.read.parquet(f"{index_dir}/segments")
+    elif not gens:
+        # empty manifest (e.g. hand-repaired index): nothing to merge —
+        # parquet(*[]) would raise an unable-to-infer-schema error
+        segs = spark.createDataFrame(
+            [], SEGMENT_SCHEMA + ", generation long"
+        )
     else:
         base = f"{index_dir}/segments"
         segs = spark.read.option("basePath", base).parquet(
@@ -1299,11 +1339,36 @@ def read_segments(spark: SparkSession, index_dir: str) -> DataFrame:
     atomic os.replace, so this read is consistent across a concurrent
     compaction swap). Non-generational indexes (write_index /
     write_index_mapside / compact_index outputs) and pre-manifest
-    indexes read the directory as before."""
-    from wiser_spark.streaming.incremental import read_generations
+    indexes read the directory as before.
+
+    A PRE-MANIFEST index with a pending compaction journal (a legacy
+    writer crashed mid-swap) has no consistent directory state to fall
+    back on — silently listing it would drop the merged-away
+    generations' documents. Those heal here through the lock-serialized
+    ``recover_compaction`` (every journal application, including the
+    writer's own live apply, goes through the same lock, so this cannot
+    race it); if the journal survives (another process holds the lock
+    right now), the read fails LOUDLY rather than returning silently
+    incomplete results. Manifest-carrying indexes never take this path:
+    their pre-flip manifest is already consistent."""
+    from wiser_spark.streaming.incremental import (
+        read_generations,
+        recover_compaction,
+    )
 
     base = f"{index_dir}/segments"
     gens = read_generations(index_dir)
+    if gens is None and os.path.exists(f"{index_dir}/compaction.json"):
+        recover_compaction(index_dir)
+        gens = read_generations(index_dir)  # the apply may publish one
+        if gens is None and os.path.exists(f"{index_dir}/compaction.json"):
+            raise RuntimeError(
+                f"index at {index_dir!r} has a pending compaction journal "
+                "and no generations manifest (legacy torn swap), and "
+                "another process holds compaction.lock — retry once its "
+                "recovery completes (reading now would silently miss the "
+                "merged-away generations)"
+            )
     if gens is None:
         return spark.read.schema(SEGMENT_SCHEMA).parquet(base)
     if not gens:

@@ -350,6 +350,17 @@ def build_index_mapside_batched(
             )
     finally:
         pool.shutdown(wait=True)
+        # on failure the in-flight prepare (completed by the shutdown
+        # above) would otherwise strand its pinned shuffle layout in
+        # executor storage; on success next_prep is already empty
+        for fut in next_prep.values():
+            try:
+                leftover = fut.result()
+            except BaseException:
+                continue  # the prepare itself failed: nothing pinned
+            pinned = leftover.get("pinned")
+            if pinned is not None and pinned.is_cached:
+                pinned.unpersist(blocking=False)
     # ONE dictionary fold + stats for the whole build (also covers a
     # resume whose crashed run never refreshed)
     if processed_any or not os.path.exists(f"{index_dir}/stats.json"):

@@ -116,8 +116,17 @@ def _apply_compaction_journal(index_dir: str, journal: dict) -> None:
          files rather than silently losing documents);
       4. drop the journal and staging leftovers.
 
-    IDEMPOTENT: a crash at any point is healed by running it again."""
+    IDEMPOTENT: a crash at any point is healed by running it again.
+
+    LEGACY journals (pre-round-5 writers) reuse a LIVE generation id as
+    the target (target ∈ remove-list), so "dst exists" there means the
+    OLD unmerged generation, not a prior install — those take the old
+    replace-in-place semantics (src present → replace dst; src absent →
+    a prior attempt already installed) instead of the skip, which on a
+    legacy journal would silently drop the staged merge and then delete
+    the merged-away generations."""
     target = int(journal["target"])
+    legacy = target in {int(g) for g in journal["remove"]}
     staging = journal["staging"]
     if not os.path.isabs(staging):
         # journals record table-relative staging paths so a recovering
@@ -127,9 +136,9 @@ def _apply_compaction_journal(index_dir: str, journal: dict) -> None:
     for table in journal["tables"]:
         src = f"{staging}/{table}"
         dst = f"{index_dir}/{table}/generation={target}"
-        if os.path.isdir(dst):
-            continue  # this table already installed by a prior attempt
         if not os.path.isdir(src):
+            if os.path.isdir(dst):
+                continue  # already installed by a prior attempt
             raise RuntimeError(
                 f"compaction journal at {index_dir!r} names staged source "
                 f"{src!r} which does not exist and target generation "
@@ -137,6 +146,12 @@ def _apply_compaction_journal(index_dir: str, journal: dict) -> None:
                 "merged-away generations would be lost); inspect "
                 "_staging/ and the journal before removing it by hand"
             )
+        if os.path.isdir(dst):
+            if not legacy:
+                # fresh-id target: dst can only be a prior attempt's
+                # completed install (nothing else writes that id)
+                continue
+            shutil.rmtree(dst)  # legacy: dst is the old live generation
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         os.rename(src, dst)
     gens = read_generations(index_dir)
@@ -188,10 +203,17 @@ def recover_compaction(index_dir: str, sweep: bool = False) -> None:
             except OSError:
                 continue  # lock vanished: retry acquisition
             if stale and attempt == 0:
+                # steal a dead process's lock by RENAME: only one of
+                # several stealers wins the rename, so nobody can remove
+                # a FRESH lock another stealer just created (plain
+                # os.remove here raced: both see stale, both remove,
+                # both acquire)
                 try:
-                    os.remove(lock)  # steal a dead process's lock
+                    mine = f"{lock}.steal.{os.getpid()}"
+                    os.rename(lock, mine)
+                    os.remove(mine)
                 except FileNotFoundError:
-                    pass
+                    pass  # lost the steal race; retry the create once
             else:
                 return  # live holder is applying; nothing to do here
     if fd is None:
@@ -318,6 +340,15 @@ class IncrementalIndexer:
         from wiser_spark.functions.tokenize import doclen_col
         from wiser_spark.operators.postings import assign_doc_ids_with_stats
 
+        if batch.isEmpty():
+            # empty micro-batches are routine on a long-running stream
+            # (triggers with no new files): commit them with ONE cheap
+            # probe instead of paying the range-sort sampling + persist
+            # + stats jobs just to discover n_docs == 0
+            return {
+                "docs0": None, "n_docs": 0,
+                "lensum": 0 if self.fmt == "v2" else None, "pinned": None,
+            }
         aggs = []
         if self.fmt == "v2":
             # avgdl bookkeeping rides in the commit log (no docstats
@@ -348,13 +379,33 @@ class IncrementalIndexer:
         offset = self._next_doc_id(commits)
         n_docs, lensum = prep["n_docs"], prep["lensum"]
         if n_docs == 0:
-            prep["pinned"].unpersist()
+            if prep["pinned"] is not None:
+                prep["pinned"].unpersist()
             self._append_commit(commits, batch_id, offset, 0)
             return
         docs = prep["docs0"].withColumn(
             "doc_id", (F.col("doc_id") + F.lit(offset)).cast("long")
         )
         staging = f"{self.index_dir}/_staging/{batch_id}"
+        try:
+            self._encode_and_publish(
+                spark, batch_id, docs, prep, staging, commits, offset,
+                n_docs, lensum, refresh_meta,
+            )
+        except BaseException:
+            # a failed encode must not strand the prepared slice's
+            # pinned shuffle layout in executor storage (a retrying
+            # long-lived session would otherwise accumulate one per
+            # failure — the exact leak the r04 advisory targeted)
+            pinned = prep.get("pinned")
+            if pinned is not None and pinned.is_cached:
+                pinned.unpersist(blocking=False)
+            raise
+
+    def _encode_and_publish(
+        self, spark, batch_id, docs, prep, staging, commits, offset,
+        n_docs, lensum, refresh_meta,
+    ) -> None:
         if self.fmt == "v2":
             from wiser_spark.operators.mapside import build_segments_mapside
             from wiser_spark.operators.segments import (
@@ -599,7 +650,11 @@ class IncrementalIndexer:
         with open(tmp, "w") as f:
             json.dump(journal, f)
         os.replace(tmp, jpath)  # the commit point of the swap
-        _apply_compaction_journal(self.index_dir, journal)
+        # apply through recover_compaction so the LIVE apply holds
+        # compaction.lock too — every journal application is then
+        # lock-serialized (legacy pre-manifest indexes let READERS
+        # recover via the same path, which would otherwise race this)
+        recover_compaction(self.index_dir)
 
     def _next_doc_id(self, commits: dict) -> int:
         """Dense append-only docIDs: the end of the committed ranges."""
