@@ -1,0 +1,169 @@
+"""HTTP serving endpoint (S9 rendition) — the reference's gRPC
+surface (protos/qq.proto:40-56, grpc_server_impl.h:142-161) as
+JSON-over-HTTP, answered by the same SegmentIndex kernels the driver
+gates already pin.  These tests check the PROTOCOL layer: unary and
+streaming replies are byte-equal to direct engine calls, request
+defaults follow proto3 zero-value semantics, and malformed requests
+fail with 400 instead of killing the server."""
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def served(spark, tmp_path_factory):
+    from wiser_spark.config import BM25Params, IndexConfig
+    from wiser_spark.operators.docstore import write_doc_store
+    from wiser_spark.operators.mapside import write_index_mapside
+    from wiser_spark.operators.postings import assign_doc_ids
+    from wiser_spark.operators.segments import SegmentIndex
+    from wiser_spark.serving import SearchServer
+    from wiser_spark.sources.corpus import corpus_df
+
+    base = tmp_path_factory.mktemp("serving")
+    docs = assign_doc_ids(corpus_df(spark, 120)).select("doc_id", "content")
+    idx_dir, store_dir = str(base / "idx"), str(base / "store")
+    write_index_mapside(docs, idx_dir,
+                        IndexConfig(bm25=BM25Params(0.9, 0.4), n_shards=2))
+    write_doc_store(docs, store_dir)
+    idx = SegmentIndex(spark, idx_dir).warmup()
+    with SearchServer(idx, doc_store_dir=store_dir) as srv:
+        yield srv, idx
+
+
+def _post(srv, path, body, raw=False):
+    req = urllib.request.Request(
+        f"http://{srv.host}:{srv.port}{path}",
+        data=body if isinstance(body, bytes) else json.dumps(body).encode(),
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        data = resp.read()
+    return data if raw else json.loads(data)
+
+
+def _get(srv, path):
+    with urllib.request.urlopen(
+        f"http://{srv.host}:{srv.port}{path}", timeout=30
+    ) as resp:
+        return json.loads(resp.read())
+
+
+def _engine_entries(idx, terms, k=10, is_phrase=False, snippets=False,
+                    store=None, n_passages=3):
+    df = idx.search(terms, k=k, is_phrase=is_phrase,
+                    return_snippets=snippets, n_passages=n_passages,
+                    doc_store_dir=store)
+    rows = sorted(df.collect(), key=lambda r: r["rank"])
+    return [
+        {
+            "doc_id": int(r["doc_id"]),
+            "doc_score": float(r["score"]),
+            "snippet": (r["snippet"] or "") if snippets else "",
+        }
+        for r in rows
+    ]
+
+
+def test_echo_and_stats(served):
+    srv, idx = served
+    assert _post(srv, "/echo", {"message": "ping"}) == {"message": "ping"}
+    stats = _get(srv, "/stats")
+    assert stats["n_docs"] == idx.meta["n_docs"]
+    assert stats["avgdl"] == idx.meta["avgdl"]
+    assert stats["n_terms"] == idx.meta["n_terms"]
+
+
+def test_unary_search_matches_engine(served):
+    srv, idx = served
+    reply = _post(srv, "/search", {"terms": ["return", "import"],
+                                   "n_results": 5})
+    assert reply == {"entries": _engine_entries(
+        idx, ["return", "import"], k=5
+    )}
+    assert len(reply["entries"]) == 5
+
+
+def test_unary_defaults_proto3(served):
+    """Absent scalars take proto3 zero values, then the serving
+    defaults (n_results->10) — an empty-object request is a valid
+    10-result term query over no terms (empty reply)."""
+    srv, idx = served
+    assert _post(srv, "/search", {}) == {"entries": []}
+    # n_results omitted -> 10
+    reply = _post(srv, "/search", {"terms": ["return"]})
+    assert len(reply["entries"]) == 10
+    assert reply == {"entries": _engine_entries(idx, ["return"], k=10)}
+
+
+def test_unary_phrase_with_snippets(served):
+    srv, idx = served
+    req = {"terms": ["return", "import"], "n_results": 4,
+           "is_phrase": True, "return_snippets": True,
+           "n_snippet_passages": 2}
+    reply = _post(srv, "/search", req)
+    want = _engine_entries(idx, ["return", "import"], k=4, is_phrase=True,
+                           snippets=True, store=srv.doc_store_dir,
+                           n_passages=2)
+    assert reply == {"entries": want}
+    assert all(e["snippet"] for e in reply["entries"])
+
+
+def test_absent_term_empty_reply(served):
+    srv, _ = served
+    reply = _post(srv, "/search", {"terms": ["zz_absent_zz"]})
+    assert reply == {"entries": []}
+
+
+def test_streaming_matches_unary(served):
+    """/stream_search answers an NDJSON request stream in order; each
+    reply equals the unary reply for that request — including mixed
+    n_results, phrase/term, and snippets-on/off on one stream (the
+    batch fan-in groups by passage budget, so heterogeneous budgets
+    stay exact)."""
+    srv, _ = served
+    reqs = [
+        {"terms": ["return"], "n_results": 3},
+        {"terms": ["return", "import"], "n_results": 5, "is_phrase": True,
+         "return_snippets": True, "n_snippet_passages": 2},
+        {"terms": ["def", "self"], "n_results": 2,
+         "return_snippets": True, "n_snippet_passages": 1},
+        {"terms": ["zz_absent_zz"], "n_results": 5},
+    ]
+    body = "\n".join(json.dumps(r) for r in reqs).encode()
+    raw = _post(srv, "/stream_search", body, raw=True)
+    replies = [json.loads(ln) for ln in raw.decode().splitlines()]
+    assert len(replies) == len(reqs)
+    for req, got in zip(reqs, replies):
+        want = _post(srv, "/search", req)
+        assert got == want, req
+    assert len(replies[0]["entries"]) == 3
+    assert all(e["snippet"] for e in replies[1]["entries"])
+    assert replies[3] == {"entries": []}
+
+
+def test_bad_request_400(served):
+    srv, _ = served
+    for bad in (b"{not json", json.dumps({"terms": "return"}).encode()):
+        req = urllib.request.Request(
+            f"http://{srv.host}:{srv.port}/search", data=bad, method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+    # the server survives bad input
+    assert _post(srv, "/echo", {"message": "still up"}) == {
+        "message": "still up"
+    }
+
+
+def test_unknown_path_404(served):
+    srv, _ = served
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(
+            f"http://{srv.host}:{srv.port}/nope", timeout=30
+        )
+    assert ei.value.code == 404

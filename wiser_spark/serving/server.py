@@ -1,0 +1,296 @@
+"""HTTP serving endpoint over a ``SegmentIndex`` — the reference's
+gRPC surface re-expressed on the standard library.
+
+The reference serves its engine through gRPC (``qq_server.cc``,
+``grpc_server_impl.h``): ``UnarySearch`` answers one ``SearchRequest``
+per RPC (``grpc_server_impl.h:142-148``) and ``StreamingSearch`` reads
+requests off a bidirectional stream, answering each in arrival order
+(``grpc_server_impl.h:150-161``).  The wire messages are tiny
+(``protos/qq.proto:40-56``)::
+
+    SearchRequest  { terms[], n_results, return_snippets,
+                     n_snippet_passages, is_phrase }
+    SearchReply    { entries[] of {doc_id, snippet, doc_score} }
+
+This module renders that surface as JSON-over-HTTP (the grpc package
+is not available here; the PROTOCOL — request fields, reply shape,
+per-request semantics — is preserved verbatim):
+
+* ``POST /search``   — unary: one JSON ``SearchRequest`` body, one
+  JSON ``SearchReply``.  Maps to ``SegmentIndex.search``.
+* ``POST /stream_search`` — the ``StreamingSearch`` rendition: the
+  body is NDJSON, one ``SearchRequest`` per line; the reply is NDJSON,
+  one ``SearchReply`` per line, in request order.  Where the
+  reference's stream loop answers one query at a time against its
+  in-memory engine, the Spark-native fan-in answers the WHOLE stream
+  through ``SegmentIndex.search_batch`` — one segments pass decodes
+  each referenced term once across every request on the stream (the
+  same amortization the round-3/4 batch benches measure).  Requests
+  that need snippets and requests that don't are answered in the same
+  pass; the reply order is the request order either way.
+* ``POST /echo``     — the reference's ``Echo`` RPC (health check):
+  echoes ``{"message": ...}`` back.
+* ``GET /stats``     — corpus stats (n_docs, avgdl, k1/b, n_terms),
+  the serving analogue of the engine's load-time banner.
+
+Concurrency: requests are answered under one lock.  A Spark driver
+CAN submit jobs from many threads, but the serving flow's snippet path
+collects winner ids on the driver between two jobs, and interleaving
+two interactive queries' jobs on a local[k] scheduler only degrades
+both latencies — the throughput path is ``/stream_search`` (batch
+fan-in), exactly as the reference pushes load through its streaming
+RPC rather than parallel unary calls (``grpc_bench.cc``).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+def _request_defaults(req: dict) -> dict:
+    """Fill a SearchRequest's proto3 field defaults (absent scalar =>
+    zero value, protos/qq.proto:40-46), then apply the same serving
+    defaults the reference's query pool applies (query_pool.h:149-152:
+    n_results/passages fall back to engine defaults when unset)."""
+    if not isinstance(req, dict):
+        raise ValueError("SearchRequest must be a JSON object")
+    terms = req.get("terms") or []
+    if not isinstance(terms, list) or not all(
+        isinstance(t, str) for t in terms
+    ):
+        raise ValueError("terms must be a list of strings")
+    return {
+        "terms": [t for t in terms if t],
+        "n_results": int(req.get("n_results") or 10),
+        "return_snippets": bool(req.get("return_snippets", False)),
+        "n_snippet_passages": int(req.get("n_snippet_passages") or 3),
+        "is_phrase": bool(req.get("is_phrase", False)),
+    }
+
+
+class SearchServer:
+    """Serve a ``SegmentIndex`` (and optionally its chunked doc store
+    for snippets) over HTTP.  ``port=0`` binds an ephemeral port
+    (read it back from ``.port`` after ``start()``)."""
+
+    def __init__(
+        self,
+        index,
+        doc_store_dir: str | None = None,
+        host: str = "127.0.0.1",
+        port: int = 0,
+    ):
+        self.index = index
+        self.doc_store_dir = doc_store_dir
+        self._lock = threading.Lock()
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            # serving logs stay out of the test/bench output
+            def log_message(self, fmt, *args):  # noqa: D102
+                pass
+
+            def _send(self, code: int, body: bytes,
+                      ctype: str = "application/json"):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _body(self) -> bytes:
+                n = int(self.headers.get("Content-Length") or 0)
+                return self.rfile.read(n)
+
+            def do_GET(self):
+                if self.path == "/stats":
+                    m = server.index.meta
+                    out = {
+                        "n_docs": m["n_docs"],
+                        "avgdl": m["avgdl"],
+                        "k1": m["k1"],
+                        "b": m["b"],
+                        "n_terms": m.get("n_terms"),
+                    }
+                    self._send(200, json.dumps(out).encode())
+                else:
+                    self._send(404, b'{"error": "not found"}')
+
+            def do_POST(self):
+                try:
+                    raw = self._body()
+                    if self.path == "/echo":
+                        msg = json.loads(raw or b"{}")
+                        self._send(200, json.dumps(
+                            {"message": msg.get("message", "")}
+                        ).encode())
+                    elif self.path == "/search":
+                        reply = server._unary(json.loads(raw))
+                        self._send(200, json.dumps(reply).encode())
+                    elif self.path == "/stream_search":
+                        lines = [
+                            ln for ln in raw.decode("utf-8").splitlines()
+                            if ln.strip()
+                        ]
+                        reqs = [json.loads(ln) for ln in lines]
+                        replies = server._streaming(reqs)
+                        body = "\n".join(
+                            json.dumps(r) for r in replies
+                        ).encode()
+                        self._send(200, body, "application/x-ndjson")
+                    else:
+                        self._send(404, b'{"error": "not found"}')
+                except (ValueError, KeyError) as e:
+                    self._send(400, json.dumps({"error": str(e)}).encode())
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = self._httpd.server_address[:2]
+        self._thread: threading.Thread | None = None
+
+    # -- engine calls ----------------------------------------------------
+
+    def _reply_rows(self, rows, with_snippets: bool) -> dict:
+        entries = [
+            {
+                "doc_id": int(r["doc_id"]),
+                "doc_score": float(r["score"]),
+                "snippet": (r["snippet"] or "") if with_snippets else "",
+            }
+            for r in rows
+        ]
+        return {"entries": entries}
+
+    def _unary(self, req: dict) -> dict:
+        q = _request_defaults(req)
+        want_snips = q["return_snippets"] and self.doc_store_dir is not None
+        with self._lock:
+            df = self.index.search(
+                q["terms"],
+                k=q["n_results"],
+                is_phrase=q["is_phrase"],
+                return_snippets=want_snips,
+                n_passages=q["n_snippet_passages"],
+                doc_store_dir=self.doc_store_dir if want_snips else None,
+            )
+            rows = df.collect()
+        rows.sort(key=lambda r: r["rank"])
+        return self._reply_rows(rows, want_snips)
+
+    def _streaming(self, reqs: list[dict]) -> list[dict]:
+        qs = [_request_defaults(r) for r in reqs]
+        have_store = self.doc_store_dir is not None
+        # k is per-request in the protocol but per-pass in the kernel:
+        # run each pass at its group's max and trim per reply (a longer
+        # prefix of the same total order — exact).  n_snippet_passages
+        # is NOT trimmable that way (passages are chosen by score but
+        # joined in document order, highlight.py::highlight_doc), so
+        # snippet requests group by their passage budget — one batch
+        # pass per distinct budget, which in real logs (the reference's
+        # query pool pins one value per run, query_pool.h:149-152) is
+        # one pass total, plus one snippet-free pass if any request
+        # skipped snippets.
+        groups: dict[int | None, list[int]] = {}
+        for i, q in enumerate(qs):
+            key = (
+                q["n_snippet_passages"]
+                if (q["return_snippets"] and have_store) else None
+            )
+            groups.setdefault(key, []).append(i)
+        by_qid: dict[int, list] = {i: [] for i in range(len(qs))}
+        with self._lock:
+            for n_pass, qids in groups.items():
+                qlog = [(i, qs[i]["terms"], qs[i]["is_phrase"]) for i in qids]
+                k = max(qs[i]["n_results"] for i in qids)
+                df = self.index.search_batch(
+                    qlog,
+                    k=k,
+                    return_snippets=n_pass is not None,
+                    n_passages=n_pass if n_pass is not None else 3,
+                    doc_store_dir=(
+                        self.doc_store_dir if n_pass is not None else None
+                    ),
+                )
+                for r in df.collect():
+                    by_qid[int(r["query_id"])].append(r)
+        out = []
+        for i, q in enumerate(qs):
+            mine = sorted(by_qid[i], key=lambda r: r["rank"])
+            mine = mine[: q["n_results"]]
+            out.append(self._reply_rows(
+                mine, q["return_snippets"] and have_store
+            ))
+        return out
+
+    # -- lifecycle -------------------------------------------------------
+
+    def start(self) -> "SearchServer":
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+
+    def __enter__(self) -> "SearchServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+
+def serve_index(
+    spark,
+    index_dir: str,
+    doc_store_dir: str | None = None,
+    host: str = "127.0.0.1",
+    port: int = 8080,
+    scan_coalesce: int | None = None,
+):
+    """Load an index and serve it — the ``qq_server.cc`` flow: load
+    the engine from its dump directory, warm the term dictionary (the
+    reference's load-time .tip mmap), then wait on the server.
+    Blocking; intended for ``python -m wiser_spark.serving.server``."""
+    from wiser_spark.operators.segments import SegmentIndex
+
+    idx = SegmentIndex(spark, index_dir, scan_coalesce=scan_coalesce)
+    idx.warmup()
+    srv = SearchServer(idx, doc_store_dir=doc_store_dir, host=host, port=port)
+    print(f"serving {index_dir} on http://{srv.host}:{srv.port}")
+    srv.start()
+    try:
+        srv._thread.join()
+    except KeyboardInterrupt:
+        srv.stop()
+
+
+if __name__ == "__main__":
+    import argparse
+
+    from pyspark.sql import SparkSession
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("index_dir")
+    ap.add_argument("--doc-store")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--scan-coalesce", type=int)
+    ap.add_argument("--cores", type=int, default=8)
+    a = ap.parse_args()
+    sp = (
+        SparkSession.builder.master(f"local[{a.cores}]")
+        .appName("wiser-serve")
+        .config("spark.sql.shuffle.partitions", str(2 * a.cores))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    serve_index(
+        sp, a.index_dir, doc_store_dir=a.doc_store,
+        host=a.host, port=a.port, scan_coalesce=a.scan_coalesce,
+    )
