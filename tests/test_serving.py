@@ -167,3 +167,72 @@ def test_unknown_path_404(served):
             f"http://{srv.host}:{srv.port}/nope", timeout=30
         )
     assert ei.value.code == 404
+
+
+def test_add_document_flow(spark, tmp_path):
+    """The AddDocument RPC rendition: buffered adds -> /flush commits
+    ONE micro-batch generation through the IncrementalIndexer and the
+    served engine reloads — new docs searchable after the flush and
+    rank-identical to a direct SegmentIndex over the same dir; auto-
+    flush triggers at flush_every."""
+    from wiser_spark.config import BM25Params, IndexConfig
+    from wiser_spark.operators.segments import SegmentIndex
+    from wiser_spark.serving import SearchServer
+    from wiser_spark.streaming.incremental import IncrementalIndexer
+
+    d = str(tmp_path / "live_idx")
+    cfg = IndexConfig(bm25=BM25Params(0.9, 0.4), n_shards=2)
+    indexer = IncrementalIndexer(
+        d, cfg, order_cols=("url", "title"), fmt="v2"
+    )
+    seed = spark.createDataFrame(
+        [("u0", "t0", "seed corpus zebra walrus")],
+        "url string, title string, content string",
+    )
+    indexer.process_batch(seed, 0)
+    idx = SegmentIndex(spark, d).warmup()
+    with SearchServer(idx, indexer=indexer, flush_every=3) as srv:
+        # not yet searchable: buffered, below the auto-flush threshold
+        for i in range(2):
+            r = _post(srv, "/add_document", {"document": {
+                "url": f"u{i+1}", "title": f"t{i+1}",
+                "body": f"quokka document number {i} zebra",
+            }})
+            assert r == {"ok": True, "message": "Doc added"}
+        assert _post(srv, "/search", {"terms": ["quokka"]}) == {
+            "entries": []
+        }
+        # third add hits flush_every=3 -> auto-commit + reload
+        r = _post(srv, "/add_document", {"document": {
+            "url": "u3", "title": "t3", "body": "quokka zebra final",
+        }})
+        assert r["ok"] and "3 docs committed" in r["message"]
+        got = _post(srv, "/search", {"terms": ["quokka"]})
+        assert len(got["entries"]) == 3
+        # the served reply == a fresh engine over the same directory
+        fresh = SegmentIndex(spark, d)
+        want = [
+            {"doc_id": int(r["doc_id"]), "doc_score": float(r["score"]),
+             "snippet": ""}
+            for r in sorted(fresh.search(["quokka"], k=10).collect(),
+                            key=lambda r: r["rank"])
+        ]
+        assert got == {"entries": want}
+        # manual /flush of an empty buffer is a no-op
+        assert _post(srv, "/flush", {}) == {
+            "ok": True, "message": "0 docs committed"
+        }
+        # stats reflect the post-flush corpus (seed + 3)
+        assert _get(srv, "/stats")["n_docs"] == 4
+
+
+def test_add_document_without_indexer_400(served):
+    srv, _ = served
+    req = urllib.request.Request(
+        f"http://{srv.host}:{srv.port}/add_document",
+        data=json.dumps({"document": {"body": "x"}}).encode(),
+        method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 400

@@ -32,6 +32,22 @@ per-request semantics — is preserved verbatim):
   echoes ``{"message": ...}`` back.
 * ``GET /stats``     — corpus stats (n_docs, avgdl, k1/b, n_terms),
   the serving analogue of the engine's load-time banner.
+* ``POST /add_document`` — the reference's ``AddDocument`` RPC
+  (``grpc_server_impl.h:85-101``; request shape
+  ``protos/qq.proto:18-33``: document{title,url,body}); reply is the
+  ``StatusReply`` ``{"ok": true, "message": "Doc added"}``.  The
+  reference appends each doc to its in-memory engine immediately; the
+  Spark-native rendition BUFFERS added docs on the driver and commits
+  them as ONE micro-batch generation through the streaming
+  ``IncrementalIndexer`` (exactly-once commit log, same layout a
+  readStream sink writes) — either explicitly via ``POST /flush`` or
+  automatically every ``flush_every`` docs.  Docs become searchable
+  at the flush, not per-add: one generation per RPC would mean one
+  Spark write job per document, and the engine's own streaming
+  ingestion is micro-batch for the same reason.
+* ``POST /flush``    — commit the buffered docs and reload the served
+  index (the new generation set resolves through the atomic
+  manifest); replies ``{"ok": true, "message": "<n> docs committed"}``.
 
 Concurrency: requests are answered under one lock.  A Spark driver
 CAN submit jobs from many threads, but the serving flow's snippet path
@@ -81,9 +97,20 @@ class SearchServer:
         doc_store_dir: str | None = None,
         host: str = "127.0.0.1",
         port: int = 0,
+        indexer=None,
+        flush_every: int = 0,
     ):
+        """``indexer``: an ``IncrementalIndexer`` over the SAME index
+        directory enables ``/add_document`` + ``/flush`` (construct it
+        with ``order_cols=("url", "title")`` and the index's fmt —
+        added docs carry exactly the reference Document fields).
+        ``flush_every`` > 0 auto-commits whenever that many docs are
+        buffered."""
         self.index = index
         self.doc_store_dir = doc_store_dir
+        self.indexer = indexer
+        self.flush_every = int(flush_every)
+        self._pending: list[tuple[str, str, str]] = []
         self._lock = threading.Lock()
         server = self
 
@@ -126,6 +153,12 @@ class SearchServer:
                         self._send(200, json.dumps(
                             {"message": msg.get("message", "")}
                         ).encode())
+                    elif self.path == "/add_document":
+                        reply = server._add_document(json.loads(raw))
+                        self._send(200, json.dumps(reply).encode())
+                    elif self.path == "/flush":
+                        reply = server._flush()
+                        self._send(200, json.dumps(reply).encode())
                     elif self.path == "/search":
                         reply = server._unary(json.loads(raw))
                         self._send(200, json.dumps(reply).encode())
@@ -222,6 +255,64 @@ class SearchServer:
                 mine, q["return_snippets"] and have_store
             ))
         return out
+
+    def _add_document(self, req: dict) -> dict:
+        if self.indexer is None:
+            raise ValueError(
+                "server was started without an indexer; "
+                "/add_document is unavailable"
+            )
+        doc = req.get("document") or {}
+        body = doc.get("body")
+        if not isinstance(body, str) or not body:
+            raise ValueError("document.body must be a non-empty string")
+        with self._lock:
+            self._pending.append(
+                (str(doc.get("url") or ""), str(doc.get("title") or ""),
+                 body)
+            )
+            n = len(self._pending)
+            if self.flush_every and n >= self.flush_every:
+                msg = self._flush_locked()
+                return {"ok": True, "message": f"Doc added; {msg}"}
+        return {"ok": True, "message": "Doc added"}
+
+    def _flush(self) -> dict:
+        if self.indexer is None:
+            raise ValueError(
+                "server was started without an indexer; "
+                "/flush is unavailable"
+            )
+        with self._lock:
+            return {"ok": True, "message": self._flush_locked()}
+
+    def _flush_locked(self) -> str:
+        """Commit the buffer as one micro-batch generation and reload
+        the served engine.  Caller holds the lock — searches cannot
+        interleave with the generation flip, and a reader process on
+        the same index dir stays consistent anyway (the atomic
+        manifest)."""
+        from wiser_spark.operators.segments import SegmentIndex
+
+        n = len(self._pending)
+        if n == 0:
+            return "0 docs committed"
+        spark = self.index.spark
+        batch = spark.createDataFrame(
+            self._pending, "url string, title string, content string"
+        )
+        commits = self.indexer._read_commits()
+        batch_id = max((int(k) for k in commits), default=-1) + 1
+        self.indexer.process_batch(batch, batch_id)
+        self._pending = []
+        # reload: release the old engine's cached dictionary/docstats,
+        # open the post-flush generation set, re-warm the term cache
+        old = self.index
+        self.index = SegmentIndex(spark, self.indexer.index_dir).warmup()
+        old.dictionary.unpersist(blocking=False)
+        if old.docstats is not None:
+            old.docstats.unpersist(blocking=False)
+        return f"{n} docs committed"
 
     # -- lifecycle -------------------------------------------------------
 
