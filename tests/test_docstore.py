@@ -231,3 +231,42 @@ def test_rewrite_failure_keeps_old_store_meta(spark, tmp_path):
     write_doc_store(docs, d, align=False)
     with open(f"{d}/meta.json") as f:
         assert json.load(f)["align"] is False
+
+
+def test_snippet_winner_missing_from_store_keeps_entry(spark, tmp_path):
+    """A top-k winner whose content is ABSENT from the docs table /
+    store (live index grown past the store, or a partial lake table)
+    keeps its reply entry with an empty snippet — ranking must never
+    change because content went missing (review r05: the inner join
+    silently dropped such winners)."""
+    from wiser_spark.config import BM25Params, IndexConfig
+    from wiser_spark.operators.mapside import write_index_mapside
+    from wiser_spark.operators.postings import assign_doc_ids
+    from wiser_spark.operators.segments import SegmentIndex
+    from wiser_spark.sources.corpus import corpus_df
+
+    docs = assign_doc_ids(corpus_df(spark, 80)).select("doc_id", "content")
+    idx_dir = str(tmp_path / "idx")
+    store_dir = str(tmp_path / "store")
+    write_index_mapside(docs, idx_dir,
+                        IndexConfig(bm25=BM25Params(0.9, 0.4), n_shards=2))
+    idx = SegmentIndex(spark, idx_dir)
+    want = [tuple(r) for r in idx.search(["return"], k=5).collect()]
+    drop = want[1][1]  # second winner's doc_id goes missing
+    partial = docs.filter(f"doc_id != {drop}")
+    write_doc_store(partial, store_dir)
+    for src in ({"docs": partial}, {"doc_store_dir": store_dir}):
+        got = [tuple(r) for r in idx.search(
+            ["return"], k=5, return_snippets=True, **src
+        ).collect()]
+        assert [(r[0], r[1], r[2]) for r in got] == want
+        by_id = {r[1]: r[3] for r in got}
+        assert by_id[drop] == ""
+        assert all(s for d, s in by_id.items() if d != drop)
+    # batch path, both content sources
+    got_b = [tuple(r) for r in idx.search_batch(
+        [(7, ["return"], False)], k=5, return_snippets=True,
+        doc_store_dir=store_dir,
+    ).collect()]
+    assert [(r[1], r[2], r[3]) for r in got_b] == want
+    assert {r[2]: r[4] for r in got_b}[drop] == ""

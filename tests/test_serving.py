@@ -236,3 +236,167 @@ def test_add_document_without_indexer_400(served):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(req, timeout=30)
     assert ei.value.code == 400
+
+
+def test_request_validation_and_engine_error_codes(served):
+    """Malformed-but-parseable requests 400 (negative / non-int counts,
+    wrong-shaped echo body); the server never drops the connection."""
+    srv, _ = served
+    for bad in ({"terms": ["x"], "n_results": -5},
+                {"terms": ["x"], "n_results": {"a": 1}},
+                {"terms": ["x"], "n_snippet_passages": 2.5},
+                {"terms": ["x"], "n_results": True}):
+        req = urllib.request.Request(
+            f"http://{srv.host}:{srv.port}/search",
+            data=json.dumps(bad).encode(), method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400, bad
+    # echo with a list body: AttributeError path -> 400, not a dropped
+    # connection
+    req = urllib.request.Request(
+        f"http://{srv.host}:{srv.port}/echo", data=b"[1]", method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 400
+    assert _post(srv, "/echo", {"message": "up"}) == {"message": "up"}
+
+
+def test_snippets_without_store_400(spark, tmp_path):
+    """return_snippets on a server with no doc store is an explicit
+    400, not a silent snippet-less 200."""
+    from wiser_spark.config import BM25Params, IndexConfig
+    from wiser_spark.operators.mapside import write_index_mapside
+    from wiser_spark.operators.postings import assign_doc_ids
+    from wiser_spark.operators.segments import SegmentIndex
+    from wiser_spark.serving import SearchServer
+    from wiser_spark.sources.corpus import corpus_df
+
+    docs = assign_doc_ids(corpus_df(spark, 40)).select("doc_id", "content")
+    d = str(tmp_path / "idx")
+    write_index_mapside(docs, d,
+                        IndexConfig(bm25=BM25Params(0.9, 0.4), n_shards=2))
+    with SearchServer(SegmentIndex(spark, d)) as srv:
+        for path, body in (
+            ("/search", json.dumps(
+                {"terms": ["return"], "return_snippets": True}).encode()),
+            ("/stream_search", json.dumps(
+                {"terms": ["return"], "return_snippets": True}).encode()),
+        ):
+            req = urllib.request.Request(
+                f"http://{srv.host}:{srv.port}{path}", data=body,
+                method="POST",
+            )
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req, timeout=30)
+            assert ei.value.code == 400
+        # snippet-free search still works
+        assert _post(srv, "/search", {"terms": ["return"],
+                                      "n_results": 3})["entries"]
+
+
+def test_flush_retry_after_commit_failure_no_duplicates(
+    spark, tmp_path, monkeypatch
+):
+    """A flush whose commit FAILS retries under the SAME batch id, so
+    the docs land exactly once; a reload failure after a durable
+    commit must not re-commit either (buffer cleared first)."""
+    from wiser_spark.config import BM25Params, IndexConfig
+    from wiser_spark.operators.segments import SegmentIndex
+    from wiser_spark.serving import SearchServer
+    from wiser_spark.streaming.incremental import IncrementalIndexer
+
+    d = str(tmp_path / "idx")
+    indexer = IncrementalIndexer(
+        d, IndexConfig(bm25=BM25Params(0.9, 0.4), n_shards=2),
+        order_cols=("url", "title"), fmt="v2",
+    )
+    indexer.process_batch(spark.createDataFrame(
+        [("u0", "t0", "seed zebra")],
+        "url string, title string, content string"), 0)
+    idx = SegmentIndex(spark, d)
+    with SearchServer(idx, indexer=indexer) as srv:
+        assert _post(srv, "/add_document", {"document": {
+            "url": "u1", "title": "t1", "body": "quokka alpha"}})["ok"]
+        real = indexer.process_batch
+        calls = {"n": 0}
+
+        def boom(batch, batch_id, **kw):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected commit failure")
+            return real(batch, batch_id, **kw)
+
+        monkeypatch.setattr(indexer, "process_batch", boom)
+        req = urllib.request.Request(
+            f"http://{srv.host}:{srv.port}/flush", data=b"{}",
+            method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=120)
+        assert ei.value.code == 500  # engine-side -> 500, server alive
+        # retry: same batch id, docs land exactly once
+        assert "1 docs committed" in _post(srv, "/flush", {})["message"]
+        got = _post(srv, "/search", {"terms": ["quokka"]})
+        assert len(got["entries"]) == 1
+        assert _get(srv, "/stats")["n_docs"] == 2
+        # a further flush is empty — the buffer cleared on success
+        assert "0 docs" in _post(srv, "/flush", {})["message"]
+
+
+def test_flush_preserves_serving_tuning(spark, tmp_path):
+    """The post-flush reload keeps scan_coalesce and the segments
+    cache — a latency-tuned server must not silently lose its tuning
+    at the first flush."""
+    from wiser_spark.config import BM25Params, IndexConfig
+    from wiser_spark.operators.segments import SegmentIndex
+    from wiser_spark.serving import SearchServer
+    from wiser_spark.streaming.incremental import IncrementalIndexer
+
+    d = str(tmp_path / "idx")
+    indexer = IncrementalIndexer(
+        d, IndexConfig(bm25=BM25Params(0.9, 0.4), n_shards=2),
+        order_cols=("url", "title"), fmt="v2",
+    )
+    indexer.process_batch(spark.createDataFrame(
+        [("u0", "t0", "seed zebra")],
+        "url string, title string, content string"), 0)
+    idx = SegmentIndex(spark, d, scan_coalesce=2)
+    idx.segments = idx.segments.cache()
+    idx.segments.count()
+    with SearchServer(idx, indexer=indexer) as srv:
+        _post(srv, "/add_document", {"document": {
+            "url": "u1", "title": "t1", "body": "quokka beta"}})
+        _post(srv, "/flush", {})
+        assert srv.index is not idx
+        assert srv.index.scan_coalesce == 2
+        assert srv.index.segments.is_cached
+        assert len(_post(srv, "/search",
+                         {"terms": ["quokka"]})["entries"]) == 1
+
+
+def test_stop_without_start_returns(spark, tmp_path):
+    """stop() on a never-started server must not hang (shutdown()
+    waits on an event only serve_forever sets) and must release the
+    port."""
+    import socket
+
+    from wiser_spark.config import BM25Params, IndexConfig
+    from wiser_spark.operators.mapside import write_index_mapside
+    from wiser_spark.operators.postings import assign_doc_ids
+    from wiser_spark.operators.segments import SegmentIndex
+    from wiser_spark.serving import SearchServer
+    from wiser_spark.sources.corpus import corpus_df
+
+    docs = assign_doc_ids(corpus_df(spark, 10)).select("doc_id", "content")
+    d = str(tmp_path / "idx")
+    write_index_mapside(docs, d,
+                        IndexConfig(bm25=BM25Params(0.9, 0.4), n_shards=1))
+    srv = SearchServer(SegmentIndex(spark, d))
+    port = srv.port
+    srv.stop()  # must return promptly
+    s = socket.socket()
+    s.bind(("127.0.0.1", port))  # port released
+    s.close()

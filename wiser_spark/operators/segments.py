@@ -1398,6 +1398,7 @@ class SegmentIndex:
         batch serving, where one pass answers the whole log anyway."""
         self.spark = spark
         self.index_dir = index_dir
+        self.scan_coalesce = scan_coalesce
         with open(f"{index_dir}/stats.json") as f:
             self.meta = json.load(f)
         self.params = BM25Params(k1=self.meta["k1"], b=self.meta["b"])
@@ -1866,6 +1867,11 @@ class SegmentIndex:
             ids = [int(r["doc_id"]) for r in ranked.select("doc_id").collect()]
             docs = fetch_docs(spark, doc_store_dir, ids)
             content_col = "content"
+        # LEFT-preserve the ranked winners: a winner whose content is
+        # absent from the docs table / store (e.g. a doc added to a
+        # live index after the store was written) keeps its entry with
+        # an empty snippet instead of silently vanishing from the
+        # reply.  ranked is <= k rows — both joins are broadcasts.
         hits = docs.select("doc_id", F.col(content_col).alias("content")).join(
             F.broadcast(ranked), "doc_id"
         )
@@ -1886,7 +1892,13 @@ class SegmentIndex:
                     }
                 )
 
-        return hits.mapInPandas(mk_snippets, out_schema).orderBy("rank")
+        snipped = hits.mapInPandas(mk_snippets, out_schema)
+        missing = ranked.join(
+            F.broadcast(hits.select("doc_id")), "doc_id", "left_anti"
+        ).select(
+            "rank", "doc_id", "score", F.lit("").alias("snippet")
+        )
+        return snipped.unionByName(missing).orderBy("rank")
 
     def search_batch(
         self,
@@ -1958,6 +1970,8 @@ class SegmentIndex:
             ]
             docs = fetch_docs(self.spark, doc_store_dir, ids)
             content_col = "content"
+        # left-preserving via anti-join below, as in search(): winners
+        # with no stored content keep their entry, snippet empty
         hits = docs.select(
             "doc_id", F.col(content_col).alias("content")
         ).join(F.broadcast(ranked), "doc_id")
@@ -1982,6 +1996,12 @@ class SegmentIndex:
                     }
                 )
 
-        return hits.mapInPandas(mk_snippets, out_schema).orderBy(
-            "query_id", "rank"
+        snipped = hits.mapInPandas(mk_snippets, out_schema)
+        missing = ranked.join(
+            F.broadcast(hits.select("query_id", "doc_id")),
+            ["query_id", "doc_id"], "left_anti",
+        ).select(
+            "query_id", "rank", "doc_id", "score",
+            F.lit("").alias("snippet"),
         )
+        return snipped.unionByName(missing).orderBy("query_id", "rank")

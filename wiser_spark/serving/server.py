@@ -77,11 +77,20 @@ def _request_defaults(req: dict) -> dict:
         isinstance(t, str) for t in terms
     ):
         raise ValueError("terms must be a list of strings")
+
+    def _count(key: str, default: int) -> int:
+        v = req.get(key)
+        if v in (None, 0):  # proto3 zero value => serving default
+            return default
+        if not isinstance(v, int) or isinstance(v, bool) or v < 0:
+            raise ValueError(f"{key} must be a non-negative integer")
+        return v
+
     return {
         "terms": [t for t in terms if t],
-        "n_results": int(req.get("n_results") or 10),
+        "n_results": _count("n_results", 10),
         "return_snippets": bool(req.get("return_snippets", False)),
-        "n_snippet_passages": int(req.get("n_snippet_passages") or 3),
+        "n_snippet_passages": _count("n_snippet_passages", 3),
         "is_phrase": bool(req.get("is_phrase", False)),
     }
 
@@ -111,6 +120,17 @@ class SearchServer:
         self.indexer = indexer
         self.flush_every = int(flush_every)
         self._pending: list[tuple[str, str, str]] = []
+        if indexer is not None:
+            # a STABLE batch id per flush attempt: picked once here and
+            # advanced only after process_batch returns, so a retried
+            # flush after a mid-commit failure replays the SAME id and
+            # the indexer's exactly-once commit log deduplicates it —
+            # max+1 recomputed per attempt would re-commit the docs
+            # under a fresh id
+            commits = indexer._read_commits()
+            self._next_batch_id = max(
+                (int(k) for k in commits), default=-1
+            ) + 1
         self._lock = threading.Lock()
         server = self
 
@@ -175,8 +195,17 @@ class SearchServer:
                         self._send(200, body, "application/x-ndjson")
                     else:
                         self._send(404, b'{"error": "not found"}')
-                except (ValueError, KeyError) as e:
+                except (ValueError, KeyError, TypeError, AttributeError,
+                        OverflowError) as e:
+                    # request-shape errors (including json.JSONDecodeError,
+                    # a ValueError): the client's fault -> 400
                     self._send(400, json.dumps({"error": str(e)}).encode())
+                except Exception as e:  # engine-side failure -> 500,
+                    # but the server stays up (socketserver would
+                    # otherwise drop the connection with no response)
+                    self._send(500, json.dumps(
+                        {"error": f"{type(e).__name__}: {e}"}
+                    ).encode())
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.host, self.port = self._httpd.server_address[:2]
@@ -197,7 +226,12 @@ class SearchServer:
 
     def _unary(self, req: dict) -> dict:
         q = _request_defaults(req)
-        want_snips = q["return_snippets"] and self.doc_store_dir is not None
+        if q["return_snippets"] and self.doc_store_dir is None:
+            raise ValueError(
+                "server was started without a doc store; "
+                "return_snippets is unavailable"
+            )
+        want_snips = q["return_snippets"]
         with self._lock:
             df = self.index.search(
                 q["terms"],
@@ -213,6 +247,13 @@ class SearchServer:
 
     def _streaming(self, reqs: list[dict]) -> list[dict]:
         qs = [_request_defaults(r) for r in reqs]
+        if any(q["return_snippets"] for q in qs) and (
+            self.doc_store_dir is None
+        ):
+            raise ValueError(
+                "server was started without a doc store; "
+                "return_snippets is unavailable"
+            )
         have_store = self.doc_store_dir is not None
         # k is per-request in the protocol but per-pass in the kernel:
         # run each pass at its group's max and trim per reply (a longer
@@ -301,14 +342,25 @@ class SearchServer:
         batch = spark.createDataFrame(
             self._pending, "url string, title string, content string"
         )
-        commits = self.indexer._read_commits()
-        batch_id = max((int(k) for k in commits), default=-1) + 1
-        self.indexer.process_batch(batch, batch_id)
+        self.indexer.process_batch(batch, self._next_batch_id)
+        # commit is durable: clear the buffer and advance the batch id
+        # BEFORE the reload, so a reload failure (old engine keeps
+        # serving, client sees 500) cannot lead a retried flush to
+        # re-commit the same docs
+        self._next_batch_id += 1
         self._pending = []
-        # reload: release the old engine's cached dictionary/docstats,
-        # open the post-flush generation set, re-warm the term cache
+        # reload: open the post-flush generation set with the SAME
+        # serving tuning (scan_coalesce, segments cache), re-warm the
+        # term cache, then release the old engine's cached frames
         old = self.index
-        self.index = SegmentIndex(spark, self.indexer.index_dir).warmup()
+        new = SegmentIndex(
+            spark, self.indexer.index_dir,
+            scan_coalesce=old.scan_coalesce,
+        )
+        if old.segments.is_cached:
+            new.segments = new.segments.cache()
+        self.index = new.warmup()
+        old.segments.unpersist(blocking=False)
         old.dictionary.unpersist(blocking=False)
         if old.docstats is not None:
             old.docstats.unpersist(blocking=False)
@@ -324,10 +376,14 @@ class SearchServer:
         return self
 
     def stop(self) -> None:
-        self._httpd.shutdown()
+        if self._thread is not None:
+            # shutdown() waits on an event only serve_forever() sets —
+            # calling it on a never-started server would block forever
+            self._httpd.shutdown()
         self._httpd.server_close()
         if self._thread is not None:
             self._thread.join(timeout=10)
+            self._thread = None
 
     def __enter__(self) -> "SearchServer":
         return self.start()
