@@ -327,6 +327,41 @@ def _q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+_IVFPQ_IDX_CACHE: dict[str, str] = {}
+
+
+def _q_ann_ivfpq_topk(spark, sf_dir):
+    """ANN top-k over a persisted IVF-PQ index: stored rows are m=8
+    product-quantization codes (not vectors — the 32x memory cut that
+    keeps a 10^10-vector index cache-resident), scored per query by an
+    ADC lookup table over the nprobe probed cells; the top k*refine
+    candidates re-rank with exact cosine against the source table.
+    The ENTIRE pipeline (sampled codebooks, argmin encode, ADC, refine)
+    is reproduced by the DuckDB oracle — a differential gate, not just
+    a recall floor."""
+    import hashlib
+    import tempfile
+
+    from wiser_spark.operators.similarity import (
+        ivfpq_topk,
+        write_ivf_pq_index,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    if sf_dir not in _IVFPQ_IDX_CACHE:
+        tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+        d = f"{tempfile.gettempdir()}/wiser_ivfpq_idx_{tag}"
+        write_ivf_pq_index(
+            emb, d, n_centroids=16, m=8, ks=16,
+            recall_queries=8,  # recall@10 at nprobe=4 in pq.json
+        )
+        _IVFPQ_IDX_CACHE[sf_dir] = d
+    return ivfpq_topk(
+        spark, _IVFPQ_IDX_CACHE[sf_dir], emb,
+        _query_vec(spark, sf_dir), k=10, nprobe=4, refine=4,
+    )
+
+
 def _q_ann_lsh_topk(spark, sf_dir):
     """ANN top-k over the PERSISTED multi-table LSH index — the probe is
     a (tbl, bucket) partition-pruned scan, not a full rehash."""
@@ -652,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_ivfpq_topk": _q_ann_ivfpq_topk,
         "embedding_sim_pairs": _q_embedding_sim_pairs,
         "events_windowed": _q_events_windowed,
         "events_sliding": _q_events_sliding,
@@ -707,6 +743,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_ivf_topk": csql.ivf_topk_sql(
             query_vec_id=0, k=10, n_centroids=16, nprobe=4
+        ),
+        "ann_ivfpq_topk": csql.ivfpq_topk_sql(
+            query_vec_id=0, k=10, n_centroids=16, nprobe=4,
+            m=8, ks=16, dim=64, refine=4,
         ),
         "embedding_sim_pairs": csql.embedding_sim_pairs_sql(
             threshold=0.3, n_planes=8, n_tables=2

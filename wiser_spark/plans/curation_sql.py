@@ -410,6 +410,109 @@ FROM scored ORDER BY cosine DESC, vec_id LIMIT {k}
 """
 
 
+def ivfpq_topk_sql(
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    refine: int = 4,
+) -> str:
+    """IVF-PQ oracle — the FULL pipeline differentially, not just the
+    re-rank: spread-sampled centroids + cells (as ivf_topk_sql),
+    spread-sampled PQ codebooks (the ks lowest md5('pq:' || vec_id),
+    code j = j-th in that order; subspace s's codeword = the sample's
+    s-slice), per-(vector, subspace) argmin encode with the SAME
+    expression the engine evaluates (dot(c,c) - 2*dot(x_s,c), ties ->
+    lower code), ADC approximate cosine over the probed cells' codes,
+    top k*refine candidates, exact-cosine re-rank."""
+    ds = dim // m
+    md5pq = "('0x' || substr(md5('pq:' || vec_id::VARCHAR), 1, 15))::BIGINT"
+    cos_bc = (
+        "list_dot_product(b.embedding::DOUBLE[], c.cemb::DOUBLE[]) / "
+        "(sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(c.cemb::DOUBLE[], c.cemb::DOUBLE[])))"
+    )
+    cos_cq = (
+        "list_dot_product(c.cemb::DOUBLE[], q.qv::DOUBLE[]) / "
+        "(sqrt(list_dot_product(c.cemb::DOUBLE[], c.cemb::DOUBLE[])) * "
+        "sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])))"
+    )
+    xs = (
+        f"list_slice(b.embedding::DOUBLE[], cb.sub * {ds} + 1, "
+        f"(cb.sub + 1) * {ds})"
+    )
+    qs = f"list_slice(q.qv::DOUBLE[], cb.sub * {ds} + 1, (cb.sub + 1) * {ds})"
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id
+  LIMIT {n_centroids}
+),
+assigned AS (
+  SELECT b.vec_id, c.cid AS cell
+  FROM embeddings b CROSS JOIN cents c
+  QUALIFY row_number() OVER (
+    PARTITION BY b.vec_id ORDER BY {cos_bc} DESC, c.cid
+  ) = 1
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id}),
+probe AS (
+  SELECT c.cid FROM cents c, q
+  ORDER BY {cos_cq} DESC, c.cid LIMIT {nprobe}
+),
+cw AS (
+  SELECT row_number() OVER (ORDER BY {md5pq}, vec_id) - 1 AS code, embedding
+  FROM embeddings
+  ORDER BY {md5pq}, vec_id
+  LIMIT {ks}
+),
+cb AS (
+  SELECT s.sub, cw.code,
+         list_slice(cw.embedding::DOUBLE[], s.sub * {ds} + 1,
+                    (s.sub + 1) * {ds}) AS cvec
+  FROM cw CROSS JOIN (SELECT unnest(range({m})) AS sub) s
+),
+codes AS (
+  SELECT b.vec_id, cb.sub, cb.code
+  FROM embeddings b CROSS JOIN cb
+  QUALIFY row_number() OVER (
+    PARTITION BY b.vec_id, cb.sub
+    ORDER BY list_dot_product(cb.cvec, cb.cvec)
+             - 2 * list_dot_product({xs}, cb.cvec) ASC,
+             cb.code
+  ) = 1
+),
+lut AS (
+  SELECT cb.sub, cb.code,
+         list_dot_product({qs}, cb.cvec) AS dp,
+         list_dot_product(cb.cvec, cb.cvec) AS c2
+  FROM cb CROSS JOIN q
+),
+qn AS (SELECT sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) AS n FROM q),
+approx AS (
+  SELECT co.vec_id, sum(l.dp) / (any_value(qn.n) * sqrt(sum(l.c2))) AS approx
+  FROM codes co
+  JOIN lut l ON co.sub = l.sub AND co.code = l.code
+  JOIN assigned a ON a.vec_id = co.vec_id
+  JOIN probe p ON a.cell = p.cid
+  CROSS JOIN qn
+  GROUP BY co.vec_id
+),
+cand AS (SELECT vec_id FROM approx ORDER BY approx DESC, vec_id
+         LIMIT {k * refine}),
+scored AS (
+  SELECT e.vec_id, {_COS} AS cosine
+  FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+)
+SELECT row_number() OVER (ORDER BY cosine DESC, vec_id)::INT AS rank,
+       vec_id, round(cosine, 6) AS cosine
+FROM scored ORDER BY cosine DESC, vec_id LIMIT {k}
+"""
+
+
 def lsh_topk_sql(
     query_vec_id: int = 0,
     k: int = 10,
