@@ -37,6 +37,10 @@ def main() -> None:
     ap.add_argument("--nprobes", default="1,4,8,16")
     ap.add_argument("--lsh-planes", type=int, default=12)
     ap.add_argument("--lsh-tables", type=int, default=4)
+    ap.add_argument("--pq-m", type=int, default=8)
+    ap.add_argument("--pq-ks", type=int, default=256)
+    ap.add_argument("--pq-refine", type=int, default=8)
+    ap.add_argument("--pq-nprobes", default="4,8")
     ap.add_argument("--queries", type=int, default=16)
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--out", default="")
@@ -137,6 +141,62 @@ def main() -> None:
             "measure_sec": round(dt, 1),
         }
         print(json.dumps({"ivf_nprobe": nprobe, **result["ivf"]["nprobe_sweep"][str(nprobe)]}))
+
+    # ---------------------------------------------------------- IVF-PQ
+    from wiser_spark.operators.similarity import (
+        ivfpq_topk,
+        write_ivf_pq_index,
+    )
+
+    def du(path: str) -> int:
+        total = 0
+        for root, _, files in os.walk(path):
+            total += sum(
+                os.path.getsize(os.path.join(root, f)) for f in files
+            )
+        return total
+
+    pq_dir = f"{work}/pq"
+    t0 = time.perf_counter()
+    write_ivf_pq_index(
+        emb, pq_dir, n_centroids=args.nlist, m=args.pq_m, ks=args.pq_ks
+    )
+    result["ivfpq_build_sec"] = round(time.perf_counter() - t0, 1)
+    # the memory story, measured: PQ codes vs the flat index's vectors
+    # (stored as double by the IVF writer) vs the raw float32 source
+    codes_b, cells_b, raw_b = du(f"{pq_dir}/codes"), du(f"{ivf_dir}/cells"), du(emb_path)
+    result["ivfpq"] = {
+        "m": args.pq_m, "ks": args.pq_ks, "refine": args.pq_refine,
+        "codes_bytes": codes_b,
+        "ivf_cells_bytes": cells_b,
+        "raw_float32_bytes": raw_b,
+        "codes_vs_cells": round(cells_b / codes_b, 1),
+        "codes_vs_raw": round(raw_b / codes_b, 1),
+        "nprobe_sweep": {},
+    }
+    for nprobe in [int(x) for x in args.pq_nprobes.split(",")]:
+        t0 = time.perf_counter()
+        rec = measure_ann_recall(
+            spark, pq_dir, emb, "ivfpq", k=10,
+            n_queries=args.queries, nprobe=nprobe, refine=args.pq_refine,
+        )
+        dt = time.perf_counter() - t0
+        qv = [float(v) for v in emb.limit(1).collect()[0]["embedding"]]
+        t0 = time.perf_counter()
+        ivfpq_topk(
+            spark, pq_dir, emb, qv, k=10, nprobe=nprobe,
+            refine=args.pq_refine,
+        ).collect()
+        probe_sec = time.perf_counter() - t0
+        result["ivfpq"]["nprobe_sweep"][str(nprobe)] = {
+            "recall_at_10": rec["recall_at_k"],
+            "probe_sec": round(probe_sec, 2),
+            "measure_sec": round(dt, 1),
+        }
+        print(json.dumps(
+            {"ivfpq_nprobe": nprobe,
+             **result["ivfpq"]["nprobe_sweep"][str(nprobe)]}
+        ))
 
     # ---------------------------------------------------------- sign-LSH
     lsh_dir = f"{work}/lsh"
