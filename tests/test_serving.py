@@ -400,3 +400,69 @@ def test_stop_without_start_returns(spark, tmp_path):
     s = socket.socket()
     s.bind(("127.0.0.1", port))  # port released
     s.close()
+
+
+def test_adds_between_failed_flush_and_retry_wait_for_next_flush(
+    spark, tmp_path, monkeypatch
+):
+    """A retried flush replays EXACTLY the failed attempt's prefix (the
+    rows that may already be durably committed under the in-flight
+    batch id); docs added between failure and retry commit in the NEXT
+    batch — never silently dropped by the commit log's replay no-op,
+    never duplicated."""
+    from wiser_spark.config import BM25Params, IndexConfig
+    from wiser_spark.operators.segments import SegmentIndex
+    from wiser_spark.serving import SearchServer
+    from wiser_spark.streaming.incremental import IncrementalIndexer
+
+    d = str(tmp_path / "idx")
+    indexer = IncrementalIndexer(
+        d, IndexConfig(bm25=BM25Params(0.9, 0.4), n_shards=2),
+        order_cols=("url", "title"), fmt="v2",
+    )
+    indexer.process_batch(spark.createDataFrame(
+        [("u0", "t0", "seed zebra")],
+        "url string, title string, content string"), 0)
+    idx = SegmentIndex(spark, d)
+    with SearchServer(idx, indexer=indexer) as srv:
+        _post(srv, "/add_document", {"document": {
+            "url": "uA", "title": "tA", "body": "quokka alpha"}})
+        real = indexer.process_batch
+        calls = {"n": 0}
+
+        def boom(batch, batch_id, **kw):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                # commit DURABLY, then fail (the worst crash point:
+                # a retry with a fresh id would duplicate; a retry
+                # replaying a bigger batch would silently drop the
+                # extra rows on the no-op)
+                real(batch, batch_id, **kw)
+                raise RuntimeError("injected post-commit failure")
+            return real(batch, batch_id, **kw)
+
+        monkeypatch.setattr(indexer, "process_batch", boom)
+        req = urllib.request.Request(
+            f"http://{srv.host}:{srv.port}/flush", data=b"{}",
+            method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(req, timeout=120)
+        # a doc arrives between the failure and the retry
+        _post(srv, "/add_document", {"document": {
+            "url": "uB", "title": "tB", "body": "quokka beta"}})
+        # retry: replays the SAME id/prefix -> commit-log no-op; doc A
+        # is already durable, doc B stays buffered
+        assert "1 docs committed" in _post(srv, "/flush", {})["message"]
+        assert len(_post(srv, "/search",
+                         {"terms": ["alpha"]})["entries"]) == 1
+        assert _post(srv, "/search", {"terms": ["beta"]}) == {
+            "entries": []
+        }
+        # next flush commits B, exactly once
+        assert "1 docs committed" in _post(srv, "/flush", {})["message"]
+        assert len(_post(srv, "/search",
+                         {"terms": ["beta"]})["entries"]) == 1
+        assert len(_post(srv, "/search",
+                         {"terms": ["quokka"]})["entries"]) == 2
+        assert _get(srv, "/stats")["n_docs"] == 3

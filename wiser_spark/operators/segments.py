@@ -1867,14 +1867,19 @@ class SegmentIndex:
             ids = [int(r["doc_id"]) for r in ranked.select("doc_id").collect()]
             docs = fetch_docs(spark, doc_store_dir, ids)
             content_col = "content"
+        else:
+            ranked = ranked.localCheckpoint(eager=True)  # run topk once
         # LEFT-preserve the ranked winners: a winner whose content is
         # absent from the docs table / store (e.g. a doc added to a
         # live index after the store was written) keeps its entry with
         # an empty snippet instead of silently vanishing from the
-        # reply.  ranked is <= k rows — both joins are broadcasts.
+        # reply.  Both ranked and hits are <= k rows; checkpointing
+        # them pins ONE shard-kernel run and ONE docs scan — the
+        # anti-join below reuses the materialized rows instead of
+        # recomputing the subtrees.
         hits = docs.select("doc_id", F.col(content_col).alias("content")).join(
             F.broadcast(ranked), "doc_id"
-        )
+        ).localCheckpoint(eager=True)
 
         def mk_snippets(batches):
             for pdf in batches:
@@ -1970,11 +1975,15 @@ class SegmentIndex:
             ]
             docs = fetch_docs(self.spark, doc_store_dir, ids)
             content_col = "content"
+        else:
+            ranked = ranked.localCheckpoint(eager=True)  # run topk once
         # left-preserving via anti-join below, as in search(): winners
-        # with no stored content keep their entry, snippet empty
+        # with no stored content keep their entry, snippet empty;
+        # ranked/hits are <= k*|log| rows — checkpoint so the kernel
+        # and the docs scan run once
         hits = docs.select(
             "doc_id", F.col(content_col).alias("content")
-        ).join(F.broadcast(ranked), "doc_id")
+        ).join(F.broadcast(ranked), "doc_id").localCheckpoint(eager=True)
 
         def mk_snippets(batches):
             for pdf in batches:

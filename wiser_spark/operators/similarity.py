@@ -243,6 +243,47 @@ def lsh_topk_indexed(
 
 
 # --------------------------------------------------------------- IVF-flat
+def _sample_centroids(
+    base: DataFrame, n_centroids: int, centroid_ids: list[int] | None
+) -> tuple[list[int], DataFrame]:
+    """The deterministic spread-sampled centroid pick + centroid-vector
+    frame — ONE definition behind both IVF writers (flat and PQ), so
+    their cells — and the DuckDB oracle's — can never drift apart."""
+    if centroid_ids is None:
+        centroid_ids = [
+            int(r["vec_id"])
+            for r in base.select("vec_id")
+            .orderBy(md5_long(F.col("vec_id").cast("string")), F.col("vec_id"))
+            .limit(n_centroids).collect()
+        ]
+    cents = base.filter(F.col("vec_id").isin(centroid_ids)).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+    )
+    return centroid_ids, cents
+
+
+def _assign_cells(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """Max-cosine cell assignment (ties -> lower centroid id), shared by
+    both IVF writers. SCALE SHAPE: the N x |C| scored rows carry ONLY
+    (vec_id, cid, cos) — never the embedding — and collapse through a
+    groupBy MAX of an ordering struct (cos desc, cid asc via negated
+    cid), which partial-aggregates map-side: the shuffle moves ~N tiny
+    rows, not N x |C| (the round-4 window formulation shuffled the full
+    cross product WITH embeddings — a non-starter at 10^6 x 10^3).
+    Float comparisons are exact, so assignments — and the DuckDB oracle
+    gates — are bit-identical to the window form."""
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid",
+        cosine_col(F.col("emb"), F.col("cemb")).alias("cos"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max(
+            F.struct(F.col("cos").alias("c"), (-F.col("cid")).alias("nc"))
+        ).alias("m")
+    ).select("vec_id", (-F.col("m.nc")).alias("cell"))
+    return base.join(best, "vec_id").select("vec_id", "emb", "cell")
+
+
 def write_ivf_index(
     embeddings: DataFrame,
     index_dir: str,
@@ -280,42 +321,10 @@ def write_ivf_index(
     import json
     import os
 
-    from wiser_spark.operators.dedup import md5_long
-
     emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = embeddings.select("vec_id", emb.alias("emb"))
-    if centroid_ids is None:
-        centroid_ids = [
-            int(r["vec_id"])
-            for r in base.select("vec_id")
-            .orderBy(md5_long(F.col("vec_id").cast("string")), F.col("vec_id"))
-            .limit(n_centroids).collect()
-        ]
-    cents = base.filter(F.col("vec_id").isin(centroid_ids)).select(
-        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
-    )
-    # assignment = argmax over |C| cosines per vector. SCALE SHAPE: the
-    # N x |C| scored rows carry ONLY (vec_id, cid, cos) — never the
-    # embedding — and collapse through a groupBy MAX of an ordering
-    # struct (cos desc, cid asc via negated cid), which partial-
-    # aggregates map-side: the shuffle moves ~N tiny rows, not N x |C|
-    # (the round-4 window formulation shuffled the full cross product
-    # WITH embeddings — a non-starter at 10^6 x 10^3). Tie semantics
-    # are unchanged (max cos, then LOWER cid) and float comparisons are
-    # exact, so assignments — and the DuckDB oracle gate — are
-    # bit-identical to the window form.
-    scored = base.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "cid",
-        cosine_col(F.col("emb"), F.col("cemb")).alias("cos"),
-    )
-    best = scored.groupBy("vec_id").agg(
-        F.max(
-            F.struct(
-                F.col("cos").alias("c"), (-F.col("cid")).alias("nc")
-            )
-        ).alias("m")
-    ).select("vec_id", (-F.col("m.nc")).alias("cell"))
-    assigned = base.join(best, "vec_id").select("vec_id", "emb", "cell")
+    centroid_ids, cents = _sample_centroids(base, n_centroids, centroid_ids)
+    assigned = _assign_cells(base, cents)
     # same file-count hygiene as the LSH writer: one task per cell dir
     assigned.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
         "cell"
@@ -439,13 +448,7 @@ def write_ivf_pq_index(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     ds = dim // m
-    if centroid_ids is None:
-        centroid_ids = [
-            int(r["vec_id"])
-            for r in base.select("vec_id")
-            .orderBy(md5_long(F.col("vec_id").cast("string")), F.col("vec_id"))
-            .limit(n_centroids).collect()
-        ]
+    centroid_ids, cents = _sample_centroids(base, n_centroids, centroid_ids)
     if codeword_ids is None:
         # a DIFFERENT salt than the centroid sample: the same md5 order
         # would make every codeword a centroid, wasting the codebook's
@@ -460,9 +463,6 @@ def write_ivf_pq_index(
             )
             .limit(ks).collect()
         ]
-    cents = base.filter(F.col("vec_id").isin(centroid_ids)).select(
-        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
-    )
     # codebook rows collected in SAMPLE ORDER: code j = j-th sample
     cw_rows = {
         int(r["vec_id"]): [float(v) for v in r["emb"]]
@@ -473,16 +473,7 @@ def write_ivf_pq_index(
     ).reshape(len(codeword_ids), m, ds).transpose(1, 0, 2)  # (m, ks, ds)
     c2 = np.einsum("mkd,mkd->mk", cb, cb)  # (m, ks) codeword norms^2
 
-    scored = base.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "cid",
-        cosine_col(F.col("emb"), F.col("cemb")).alias("cos"),
-    )
-    best = scored.groupBy("vec_id").agg(
-        F.max(
-            F.struct(F.col("cos").alias("c"), (-F.col("cid")).alias("nc"))
-        ).alias("m")
-    ).select("vec_id", (-F.col("m.nc")).alias("cell"))
-    assigned = base.join(best, "vec_id").select("vec_id", "emb", "cell")
+    assigned = _assign_cells(base, cents)
 
     spark = embeddings.sparkSession
     bc = spark.sparkContext.broadcast((cb, c2))
@@ -616,11 +607,21 @@ def ivfpq_topk(
         .orderBy(F.desc("approx"), F.asc("vec_id"))
         .limit(k * refine)
     )
+    # candidate ids to the driver (<= k*refine rows), then an isin
+    # PREDICATE on the source table — parquet min/max row-group skipping
+    # applies, so the re-rank point-reads instead of full-scanning the
+    # 10^10-vector table a join's probe side would (cf. fetch_docs'
+    # bounded predicate on the doc store)
+    cand_ids = [int(r["vec_id"]) for r in cand.select("vec_id").collect()]
+    if not cand_ids:
+        return spark.createDataFrame(
+            [], "rank int, vec_id long, cosine double"
+        )
     qcol = F.array(*[F.lit(float(v)).cast("double") for v in query_vec])
     emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    exact = embeddings.select(
+    exact = embeddings.filter(F.col("vec_id").isin(cand_ids)).select(
         "vec_id", cosine_col(emb, qcol).alias("cosine")
-    ).join(F.broadcast(cand.select("vec_id")), "vec_id")
+    )
     top = exact.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
     from pyspark.sql import Window
 

@@ -80,11 +80,14 @@ def _request_defaults(req: dict) -> dict:
 
     def _count(key: str, default: int) -> int:
         v = req.get(key)
-        if v in (None, 0):  # proto3 zero value => serving default
+        if v is None:
             return default
         if not isinstance(v, int) or isinstance(v, bool) or v < 0:
+            # booleans and floats are rejected outright (before the
+            # zero-value check) so False/0.0 don't masquerade as the
+            # proto3 zero while True/5.0 get 400
             raise ValueError(f"{key} must be a non-negative integer")
-        return v
+        return default if v == 0 else v  # proto3 zero => serving default
 
     return {
         "terms": [t for t in terms if t],
@@ -121,16 +124,19 @@ class SearchServer:
         self.flush_every = int(flush_every)
         self._pending: list[tuple[str, str, str]] = []
         if indexer is not None:
-            # a STABLE batch id per flush attempt: picked once here and
-            # advanced only after process_batch returns, so a retried
-            # flush after a mid-commit failure replays the SAME id and
-            # the indexer's exactly-once commit log deduplicates it —
-            # max+1 recomputed per attempt would re-commit the docs
-            # under a fresh id
-            commits = indexer._read_commits()
-            self._next_batch_id = max(
-                (int(k) for k in commits), default=-1
-            ) + 1
+            # a STABLE batch id per flush ATTEMPT: re-derived from the
+            # commit log at the start of each fresh attempt (so ids a
+            # prior streaming job committed meanwhile are skipped, not
+            # silently no-op'ed over) and advanced only after
+            # process_batch returns — a RETRY of a failed attempt
+            # replays the SAME id and the indexer's exactly-once commit
+            # log deduplicates it. The server assumes it is the index's
+            # ONLY writer while serving (as the reference engine owns
+            # its index exclusively, qq_server.cc); a foreign writer
+            # racing a flush retry is not distinguishable from our own
+            # prior commit.
+            self._next_batch_id = self._fresh_batch_id()
+            self._flush_inflight = False
         self._lock = threading.Lock()
         server = self
 
@@ -254,7 +260,6 @@ class SearchServer:
                 "server was started without a doc store; "
                 "return_snippets is unavailable"
             )
-        have_store = self.doc_store_dir is not None
         # k is per-request in the protocol but per-pass in the kernel:
         # run each pass at its group's max and trim per reply (a longer
         # prefix of the same total order — exact).  n_snippet_passages
@@ -268,8 +273,7 @@ class SearchServer:
         groups: dict[int | None, list[int]] = {}
         for i, q in enumerate(qs):
             key = (
-                q["n_snippet_passages"]
-                if (q["return_snippets"] and have_store) else None
+                q["n_snippet_passages"] if q["return_snippets"] else None
             )
             groups.setdefault(key, []).append(i)
         by_qid: dict[int, list] = {i: [] for i in range(len(qs))}
@@ -292,10 +296,12 @@ class SearchServer:
         for i, q in enumerate(qs):
             mine = sorted(by_qid[i], key=lambda r: r["rank"])
             mine = mine[: q["n_results"]]
-            out.append(self._reply_rows(
-                mine, q["return_snippets"] and have_store
-            ))
+            out.append(self._reply_rows(mine, q["return_snippets"]))
         return out
+
+    def _fresh_batch_id(self) -> int:
+        commits = self.indexer._read_commits()
+        return max((int(k) for k in commits), default=-1) + 1
 
     def _add_document(self, req: dict) -> dict:
         if self.indexer is None:
@@ -314,7 +320,17 @@ class SearchServer:
             )
             n = len(self._pending)
             if self.flush_every and n >= self.flush_every:
-                msg = self._flush_locked()
+                # the ADD itself succeeded (the doc is buffered and a
+                # later flush will commit it), so a failed auto-flush
+                # must still reply ok — a 500 here would read as "add
+                # failed" and a retrying client would duplicate the doc
+                try:
+                    msg = self._flush_locked()
+                except Exception as e:
+                    msg = (
+                        f"auto-flush failed ({type(e).__name__}: {e}); "
+                        "docs retained, retry with POST /flush"
+                    )
                 return {"ok": True, "message": f"Doc added; {msg}"}
         return {"ok": True, "message": "Doc added"}
 
@@ -335,20 +351,35 @@ class SearchServer:
         manifest)."""
         from wiser_spark.operators.segments import SegmentIndex
 
-        n = len(self._pending)
-        if n == 0:
+        if not self._pending:
             return "0 docs committed"
+        if not self._flush_inflight:
+            # fresh attempt: skip any ids committed since construction
+            # (e.g. the indexer's own streaming job ran before serving
+            # started) — process_batch silently no-ops on a committed
+            # id, which here would LOSE the buffered docs — and pin the
+            # attempt's batch to the buffer's CURRENT prefix: a retry
+            # replays exactly the rows the failed attempt may already
+            # have committed, while docs added in between wait for the
+            # next flush (appends only ever extend the tail)
+            self._next_batch_id = max(
+                self._next_batch_id, self._fresh_batch_id()
+            )
+            self._flush_n = len(self._pending)
+            self._flush_inflight = True
+        n = self._flush_n
         spark = self.index.spark
         batch = spark.createDataFrame(
-            self._pending, "url string, title string, content string"
+            self._pending[:n], "url string, title string, content string"
         )
         self.indexer.process_batch(batch, self._next_batch_id)
-        # commit is durable: clear the buffer and advance the batch id
-        # BEFORE the reload, so a reload failure (old engine keeps
-        # serving, client sees 500) cannot lead a retried flush to
-        # re-commit the same docs
+        # commit is durable: drop the committed prefix and advance the
+        # batch id BEFORE the reload, so a reload failure (old engine
+        # keeps serving, client sees 500) cannot lead a retried flush
+        # to re-commit the same docs
+        self._flush_inflight = False
         self._next_batch_id += 1
-        self._pending = []
+        self._pending = self._pending[n:]
         # reload: open the post-flush generation set with the SAME
         # serving tuning (scan_coalesce, segments cache), re-warm the
         # term cache, then release the old engine's cached frames
