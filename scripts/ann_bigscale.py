@@ -57,6 +57,10 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # plain-python launch: the JVM starts here, so builder-set
+        # driver memory IS honored (unlike under spark-submit) — the
+        # 1M-vector cell assignment OOMs the 1g default
+        .config("spark.driver.memory", "24g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -28,6 +28,18 @@ at 10^10+ vectors. Codebooks are deterministic spread samples (no
 Lloyd iterations), so the ENTIRE pipeline — sampling, encoding, ADC
 scoring, refine re-rank — is reproducible bit-for-bit by the DuckDB
 oracle and differentially gated, not just recall-measured.
+
+MEASURED GUIDANCE (BENCH/ann_1m.json, BENCH/ann_1m_pq.json — 1M x
+32-dim clustered corpus, local[32]):
+  * IVF-flat, nlist=1024: recall@10 0.994 at nprobe=1-4, 1.0 at 8;
+    cell balance max/median 1.65. nlist ~ sqrt(N) is the sane default.
+  * IVF-PQ m=8/ks=256/refine=8: codes table 15.1 MB vs 204 MB flat
+    cells (13.5x) and 133 MB raw float32 (8.8x); recall@10 ~0.85,
+    plateaued across nprobe — QUANTIZATION-limited, so raise ``refine``
+    (clustered pytest corpus: 4 -> 0.887, 8 -> 0.938) or ``m``, not
+    nprobe, when chasing recall. Returned scores are exact either way.
+  * sign-LSH 12 planes x 4 tables: recall@10 0.21 at 1M — the
+    cheap-build/no-centroid path; prefer IVF when recall matters.
 """
 
 from __future__ import annotations
