@@ -466,3 +466,65 @@ def test_adds_between_failed_flush_and_retry_wait_for_next_flush(
         assert len(_post(srv, "/search",
                          {"terms": ["quokka"]})["entries"]) == 2
         assert _get(srv, "/stats")["n_docs"] == 3
+
+
+def test_concurrent_searches_during_flush(spark, tmp_path):
+    """Races: several client threads search while another adds + flushes.
+    Every reply must be internally consistent — either the pre-flush or
+    the post-flush engine answered it (never a torn generation set, no
+    dropped connections), and after the dust settles the new doc is
+    served."""
+    import threading
+
+    from wiser_spark.config import BM25Params, IndexConfig
+    from wiser_spark.operators.segments import SegmentIndex
+    from wiser_spark.serving import SearchServer
+    from wiser_spark.streaming.incremental import IncrementalIndexer
+
+    d = str(tmp_path / "idx")
+    indexer = IncrementalIndexer(
+        d, IndexConfig(bm25=BM25Params(0.9, 0.4), n_shards=2),
+        order_cols=("url", "title"), fmt="v2",
+    )
+    indexer.process_batch(spark.createDataFrame(
+        [(f"u{i}", f"t{i}", f"zebra walrus w{i % 5}") for i in range(20)],
+        "url string, title string, content string"), 0)
+    idx = SegmentIndex(spark, d).warmup()
+    errors: list = []
+    results: list = []
+
+    with SearchServer(idx, indexer=indexer) as srv:
+        def searcher():
+            try:
+                for _ in range(6):
+                    r = _post(srv, "/search", {"terms": ["zebra"],
+                                               "n_results": 25})
+                    n = len(r["entries"])
+                    # pre-flush: 20 docs; post-flush: 21 — only those
+                    # two states may ever be observed
+                    results.append(n)
+                    assert n in (20, 21), n
+            except Exception as e:  # surfaces in the main thread
+                errors.append(e)
+
+        def writer():
+            try:
+                _post(srv, "/add_document", {"document": {
+                    "url": "uN", "title": "tN", "body": "zebra quokka"}})
+                _post(srv, "/flush", {})
+            except Exception as e:
+                errors.append(e)
+
+        threads = [threading.Thread(target=searcher) for _ in range(3)]
+        threads.append(threading.Thread(target=writer))
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert not errors, errors
+        # post-flush state is served
+        final = _post(srv, "/search", {"terms": ["quokka"]})
+        assert len(final["entries"]) == 1
+        assert len(_post(srv, "/search", {"terms": ["zebra"],
+                                          "n_results": 25})["entries"]) == 21
+    assert 21 in results or results  # searchers ran
