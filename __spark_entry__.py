@@ -91,6 +91,15 @@ def _q_term_dict(spark, sf_dir):
     return build_dictionary(postings)
 
 
+def _q_term_prefix(spark, sf_dir):
+    """Prefix seek over the term dictionary (the reference's hat-trie
+    .tip walk) — served from the v2 map-side index's cached dictionary;
+    a cold read prunes parquet row groups via the sorted-by-term layout
+    (StringStartsWith pushdown, pinned by pytest)."""
+    idx = _mapside_index(spark, sf_dir)
+    return idx.term_prefix("s").orderBy("term")
+
+
 def _q_doc_stats(spark, sf_dir):
     _, _, docstats = _built(spark, sf_dir)
     return docstats.select(
@@ -669,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings": _q_postings,
         "postings_offsets": _q_postings_offsets,
         "term_dict": _q_term_dict,
+        "term_prefix": _q_term_prefix,
         "doc_stats": _q_doc_stats,
         "corpus_stats": _q_corpus_stats,
         "topk_from_segments": _q_topk_from_segments,
@@ -714,6 +724,8 @@ def oracle_sql() -> dict[str, str]:
         "postings": osql.postings_sql(),
         "postings_offsets": osql.postings_offsets_sql(),
         "term_dict": osql.term_dict_sql(),
+        "term_prefix": osql.term_dict_sql()
+        + " WHERE term LIKE 's%' ORDER BY term",
         "doc_stats": osql.doc_stats_sql(),
         "corpus_stats": osql.corpus_stats_sql(),
         # the segment path answers the same query as bm25_and2 — one SQL

@@ -394,3 +394,47 @@ def test_compact_index_written_before_skip_max_tfs(spark, tmp_path,
     seg = spark.read.parquet(f"{out}/segments").filter(
         "term = 'return'").collect()[0]
     assert seg["skip_max_tfs"] is not None and len(seg["skip_max_tfs"]) > 0
+
+
+def test_term_prefix_pushdown_and_identity(spark, tmp_path):
+    """term_prefix = the trie .tip's prefix seek: results equal a full
+    dictionary filter, absent prefixes are empty, and a COLD dictionary
+    read pushes StringStartsWith into the parquet scan (the dictionary
+    is written sorted by term, so row-group min/max stats prune)."""
+    from wiser_spark.config import BM25Params, IndexConfig
+    from wiser_spark.operators.mapside import write_index_mapside
+    from wiser_spark.operators.postings import assign_doc_ids
+    from wiser_spark.sources.corpus import corpus_df
+
+    docs = assign_doc_ids(corpus_df(spark, 100)).select("doc_id", "content")
+    d = str(tmp_path / "idx")
+    write_index_mapside(docs, d, IndexConfig(bm25=BM25Params(0.9, 0.4),
+                                             n_shards=2))
+    idx = SegmentIndex(spark, d)
+    got = sorted(tuple(r) for r in idx.term_prefix("re").collect())
+    want = sorted(
+        (r["term"], r["df"])
+        for r in idx.dictionary.collect()
+        if r["term"].startswith("re")
+    )
+    assert got == want and len(got) >= 1  # 'return'
+    got_s = sorted(tuple(r) for r in idx.term_prefix("s").collect())
+    want_s = sorted(
+        (r["term"], r["df"])
+        for r in idx.dictionary.collect()
+        if r["term"].startswith("s")
+    )
+    assert got_s == want_s and len(got_s) >= 2  # 'self', 'shard_*', ...
+    assert idx.term_prefix("zzz_nope").count() == 0
+    with pytest.raises(ValueError):
+        idx.term_prefix("")
+    # cold read: the filter reaches the scan as StringStartsWith
+    from pyspark.sql import functions as F
+
+    cold = spark.read.schema(
+        "term string, df int, bytes_docid_tf long, prefetch_pages int"
+    ).parquet(f"{d}/dictionary").filter(
+        F.col("term").startswith("re")
+    )
+    plan = cold._jdf.queryExecution().executedPlan().toString()
+    assert "StartsWith" in plan and "PushedFilters" in plan, plan

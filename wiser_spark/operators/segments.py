@@ -1494,6 +1494,22 @@ class SegmentIndex:
         rows = self.dictionary.filter(F.col("term").isin(list(terms))).collect()
         return {r["term"]: (int(r["df"]), r["prefetch_pages"]) for r in rows}
 
+    def term_prefix(self, prefix: str) -> DataFrame:
+        """All dictionary terms with ``prefix`` and their dfs — the
+        trie-backed term index's prefix seek (the reference's .tip is
+        a hat-trie, ``vacuum_engine.h:119-142`` + vendored
+        ``tsl/htrie``, whose prefix iteration the engine uses for
+        dictionary walks). Serving reads the CACHED dictionary (an
+        in-memory filter over vocabulary-sized rows); a cold read gets
+        parquet min/max row-group pruning for free because the
+        dictionary is written sorted by term — StringStartsWith pushes
+        down to the scan (pinned by test_term_prefix_pushdown)."""
+        if not prefix:
+            raise ValueError("prefix must be non-empty")
+        return self.dictionary.filter(
+            F.col("term").startswith(prefix)
+        ).select("term", "df")
+
     def doc_freqs(self, terms: list[str]) -> list[int]:
         """Global df per query term, 0 for absent terms — the reference's
         ``SearchResult.doc_freqs`` contract (``types.h:259-346``)."""
