@@ -1385,17 +1385,27 @@ class SegmentIndex:
 
     def __init__(self, spark: SparkSession, index_dir: str,
                  scan_coalesce: int | None = None):
-        """``scan_coalesce``: coalesce the segments scan to this many
-        partitions (post-read, pre-cache). The shard KERNEL still runs
-        per shard group — correctness is untouched — but a big index
-        otherwise scans one task per (shard, file) and an interactive
-        single query then pays ~n_shards task schedulings for 10 rows
-        (the round-4 3.4 s floor at 20M docs / 128 shards). Guideline:
-        n_shards sizes SHUFFLE groups for the build (bounded by shard
-        doc count), while scan parallelism for serving only needs
-        ~2x the executor cores — set scan_coalesce to that when serving
-        interactive single queries from a cached index; leave None for
-        batch serving, where one pass answers the whole log anyway."""
+        """``scan_coalesce``: partition the segments scan to this many
+        partitions (post-read, pre-cache); defaults to the session's
+        defaultParallelism. The shard KERNEL still runs per shard group
+        — correctness is untouched — but a big index otherwise scans
+        one task per (shard, file) and an interactive single query then
+        pays ~n_shards task schedulings for 10 rows (the round-4 3.4 s
+        floor at 20M docs / 128 shards). Guideline: n_shards sizes
+        SHUFFLE groups for the build (bounded by shard doc count),
+        while scan parallelism for serving only needs ~the executor
+        cores — set scan_coalesce to that when serving interactive
+        single queries from a cached index.
+
+        r06: the scan is hash-REPARTITIONED by shard_id (was: coalesce)
+        so that a CACHED index pins a shard-clustered layout and every
+        ``groupBy("shard_id").applyInPandas`` query reuses it with NO
+        per-query Exchange (guide §2.4 — two operations keyed the same
+        way share one exchange; cached plans keep their output
+        partitioning because AQE leaves cached plans alone by default).
+        Uncached reads are unchanged: the term filter still pushes
+        below the repartition to the parquet scan, and the exchange the
+        query pays is the one it always paid."""
         self.spark = spark
         self.index_dir = index_dir
         self.scan_coalesce = scan_coalesce
@@ -1411,9 +1421,14 @@ class SegmentIndex:
         # consistent pre-flip state with no recovery step; journal
         # application is writer-only (r04 advisory: a reader applying
         # the journal could race the writer's own application)
-        self.segments = read_segments(spark, index_dir)
-        if scan_coalesce:
-            self.segments = self.segments.coalesce(int(scan_coalesce))
+        self._scan_parts = (
+            int(scan_coalesce)
+            if scan_coalesce
+            else spark.sparkContext.defaultParallelism
+        )
+        self.segments = read_segments(spark, index_dir).repartition(
+            self._scan_parts, "shard_id"
+        )
         # dictionary is the hot lookup table of every query (the
         # reference mmaps my.tip once) — cache it. bytes/prefetch_pages
         # are the reference's .tip prefetch-zone field analogue
@@ -1438,6 +1453,25 @@ class SegmentIndex:
         )
         self._dict_mem: dict[str, tuple[int, int | None]] | None = None
         self._dict_mem_tried = False
+        self._doclens: DataFrame | None = None
+
+    def _doclens_by_shard(self) -> DataFrame:
+        """v1 (separate-docstats) indexes: the per-shard doc-length side
+        of the query cogroup, shard-keyed and CACHED in the same
+        hash(shard_id) layout as the segments cache — so the per-query
+        cogroup needs no Exchange on either side (r05 re-shuffled the
+        whole docstats table on every query)."""
+        if self._doclens is None:
+            n_shards = self.meta["n_shards"]
+            self._doclens = (
+                self.docstats.withColumn(
+                    "shard_id", (F.col("doc_id") % n_shards).cast("int")
+                )
+                .select("shard_id", "doc_id", "doclen_char")
+                .repartition(self._scan_parts, "shard_id")
+                .cache()
+            )
+        return self._doclens
 
     # the reference mmaps the WHOLE .tip into the serving process once
     # (vacuum_engine.h:119-142). The analogue: when the vocabulary is
@@ -1557,7 +1591,7 @@ class SegmentIndex:
         k1 = self.params.k1
         bloom_cfg = self.bloom_cfg  # plain locals: the UDF closure must
         has_sentinel = self.has_sentinel  # not capture self (it drags
-        n_shards = self.meta["n_shards"]  # the SparkSession into pickle)
+        # the SparkSession into pickle)
         # positions are decoded ONLY for terms that appear in a phrase
         # query; offsets ONLY for snippet queries' terms — one long
         # phrase in a big log must not make every hot term's positional
@@ -1608,13 +1642,7 @@ class SegmentIndex:
         seg = self.segments.filter(
             F.col("term").isin(sorted(wanted))
         ).select(*seg_cols)
-        doclens = (
-            None
-            if has_sentinel
-            else self.docstats.withColumn(
-                "shard_id", (F.col("doc_id") % n_shards).cast("int")
-            ).select("shard_id", "doc_id", "doclen_char")
-        )
+        doclens = None if has_sentinel else self._doclens_by_shard()
 
         def shard_kernel(
             seg_pdf: pd.DataFrame, len_pdf: pd.DataFrame | None

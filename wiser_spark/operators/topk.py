@@ -21,9 +21,24 @@ BM25 + strict-`>` heap ``scoring.h`` / ``:588-603``):
                       k-row merge — no global sort), with the same tie
                       bias as the reference heap (earliest docIDs kept)
 
+``bm25_topk_batch`` (the QPS path) uses a DIFFERENT shape, rebuilt in
+round 6: ONE ``term IN (...)`` scan of the postings for the ENTIRE log
+feeds ONE (query_id, doc_id) aggregation that replaces the former
+per-shape join chains and their union (optimization guide §2.3
+"aggregate before you shuffle", §2.4 "remove shuffles outright" — the
+r05 21-query batch plan carried 103 Exchange nodes, this one has 14).
+The per-query single/conjunctive join plans are deliberately KEPT for
+``bm25_topk``: measured warm at sf1.0 they beat the aggregation shape
+(0.39/0.51/0.64 s vs 0.61/0.79/0.85 s for 1/2/3 terms) because at one
+query per job the broadcast-join chain is all map-side while the
+aggregation pays a collect_list shuffle — the aggregation only wins
+when its one scan amortizes over many queries.
+
 Any query term absent from the index yields an empty result naturally:
 its slice has no rows and the inner join annihilates the query (AND
-semantics, reference ``qq_mem_engine.h:345-347``).
+semantics, reference ``qq_mem_engine.h:345-347``); in the batch
+aggregation the matched-term count stays below the query length and
+the count filter annihilates it.
 """
 
 from __future__ import annotations
@@ -109,6 +124,37 @@ def bm25_topk(
     )
 
 
+def _score_fold(stats: CorpusStats, params: BM25Params):
+    """score = fold over the idx-sorted per-doc slices: acc + idf*tfnorm.
+
+    The fold starts at literal 0.0 and adds contributions in ascending
+    term index — exactly the (...((c0+c1)+c2)...) association of the
+    per-term join columns in ``bm25_topk``, so scores are bit-identical
+    (0.0+c0 == c0 exactly; contributions are strictly positive)."""
+    return F.aggregate(
+        F.col("parts"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + _idf_col(stats.n_docs, x["df"])
+        * _tfnorm_col(x["tf"], F.col("doclen_lossy"), stats.avgdl, params),
+    )
+
+
+def _phrase_gate():
+    """size(pos_0 ∩ (pos_1 - 1) ∩ ... ∩ (pos_{n-1} - (n-1))) > 0 over the
+    idx-sorted slices — the same left-fold intersect chain ``bm25_topk``
+    builds column-by-column (reference ``query_processing.h:170-382``)."""
+    shifted = F.transform(
+        F.col("parts"), lambda x: F.transform(x["positions"], lambda v: v - x["idx"])
+    )
+    inter = F.aggregate(
+        F.slice(shifted, F.lit(2), F.size(shifted) - 1),
+        F.element_at(shifted, 1),
+        lambda acc, a: F.array_intersect(acc, a),
+    )
+    return F.size(inter) > 0
+
+
 def bm25_topk_batch(
     postings: DataFrame,
     docstats: DataFrame,
@@ -120,91 +166,103 @@ def bm25_topk_batch(
 ) -> DataFrame:
     """Answer a WHOLE query log in one job -> (query_id, rank, doc_id,
     score). This is where QPS comes from: per-query Spark jobs pay fixed
-    scheduling latency; batching amortizes it into one plan per query
-    SHAPE (term count × phrase flag), with the query set broadcast into
-    the posting joins and the per-query top-k done by a window
-    partitioned on query_id (parallel across queries)."""
+    scheduling latency; batching amortizes it into ONE plan for the
+    ENTIRE log regardless of query shapes — one ``term IN (...)`` scan
+    of the postings, broadcast-joined to the (query_id, idx, term) log
+    and the dictionary slice, feeds one (query_id, doc_id) aggregation
+    whose matched-term count implements the k-way conjunction (the
+    former per-shape N-way self-join chains and their union are gone:
+    guide §2.3/§2.4). The per-query top-k is a two-phase salted window
+    (skew-safe). Scores fold in term order — bit-identical to
+    ``bm25_topk``."""
     params = params or BM25Params()
     spark = postings.sparkSession
     from pyspark.sql import Window
 
     out_schema = "query_id int, rank int, doc_id long, score double"
-    results = []
-    by_shape: dict[tuple[int, bool], list[tuple[int, list[str]]]] = {}
-    for qid, terms, is_phrase in queries:
-        if terms:
-            by_shape.setdefault((len(terms), bool(is_phrase)), []).append(
-                (qid, terms)
-            )
-
-    for (n, is_phrase), qs in by_shape.items():
-        use_phrase = is_phrase and n > 1
-        qrows = [(qid, *terms) for qid, terms in qs]
-        qdf = spark.createDataFrame(
-            qrows, ", ".join(["query_id int"] + [f"t{i} string" for i in range(n)])
-        )
-        joined = None
-        for i in range(n):
-            qslice = qdf.select("query_id", F.col(f"t{i}").alias("term"))
-            cols = [
-                F.col("query_id"), F.col("doc_id"),
-                F.col("tf").alias(f"tf_{i}"), F.col("df").alias(f"df_{i}"),
-            ]
-            if use_phrase:
-                cols.append(F.col("positions").alias(f"pos_{i}"))
-            slice_i = (
-                postings.join(F.broadcast(qslice), "term")
-                .join(F.broadcast(dictionary), "term")
-                .select(*cols)
-            )
-            joined = (
-                slice_i if joined is None
-                else joined.join(slice_i, ["query_id", "doc_id"])
-            )
-        if use_phrase:
-            def _shift_by(col_name: str, amount: int):
-                return F.transform(F.col(col_name), lambda x: x - F.lit(amount))
-
-            inter = F.col("pos_0")
-            for i in range(1, n):
-                inter = F.array_intersect(inter, _shift_by(f"pos_{i}", i))
-            joined = joined.filter(F.size(inter) > 0)
-
-        scored = joined.join(docstats.select("doc_id", "doclen_lossy"), "doc_id")
-        score = None
-        for i in range(n):
-            contrib = _idf_col(stats.n_docs, F.col(f"df_{i}")) * _tfnorm_col(
-                F.col(f"tf_{i}"), F.col("doclen_lossy"), stats.avgdl, params
-            )
-            score = contrib if score is None else score + contrib
-        # TWO-PHASE top-k (the skew fix): a window partitioned on
-        # query_id alone funnels every match of a high-df query through
-        # ONE partition's sort. Phase 1 ranks within (query_id, salt) —
-        # a hot query spreads over n_salts partitions, each emitting at
-        # most k rows — so the phase-2 query_id window sorts <= k*n_salts
-        # rows per query instead of the full match set. Same result:
-        # the global top-k is contained in the union of per-salt top-k,
-        # and both phases share the (score desc, doc_id asc) tie order.
-        n_salts = 16
-        w_local = Window.partitionBy("query_id", "salt").orderBy(
-            F.desc("score"), F.asc("doc_id")
-        )
-        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-        pre = (
-            scored.select("query_id", "doc_id", score.alias("score"))
-            .withColumn("salt", F.pmod(F.col("doc_id"), F.lit(n_salts)).cast("int"))
-            .withColumn("lrank", F.row_number().over(w_local))
-            .filter(F.col("lrank") <= k)
-        )
-        results.append(
-            pre.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "rank", "doc_id", "score")
-        )
-
-    if not results:
+    live = [
+        (int(qid), [str(t) for t in terms], bool(ph) and len(terms) > 1)
+        for qid, terms, ph in queries
+        if terms
+    ]
+    if not live:
         return spark.createDataFrame([], out_schema)
-    out = results[0]
-    for r in results[1:]:
-        out = out.unionByName(r)
-    return out
+    all_terms = sorted({t for _, terms, _ in live for t in terms})
+    any_phrase = any(ph for _, _, ph in live)
+    qrows = [
+        (qid, i, t, len(terms), ph)
+        for qid, terms, ph in live
+        for i, t in enumerate(terms)
+    ]
+    qdf = spark.createDataFrame(
+        qrows, "query_id int, idx int, term string, n_terms int, is_phrase boolean"
+    )
+    # (term, df) for the query vocabulary — the filter pushes below
+    # build_dictionary's groupBy; absent terms simply have no row, so
+    # their queries' matched-term count can never reach n_terms
+    dict_slice = dictionary.filter(F.col("term").isin(all_terms)).select(
+        "term", "df"
+    )
+    part_fields = [F.col("idx"), F.col("df"), F.col("tf")]
+    if any_phrase:
+        # positions ride the aggregation ONLY for phrase queries' rows —
+        # a long phrase in a big log must not make every hot term's
+        # positional arrays shuffle
+        part_fields.append(
+            F.when(F.col("is_phrase"), F.col("positions")).alias("positions")
+        )
+    matched = (
+        postings.filter(F.col("term").isin(all_terms))
+        .join(F.broadcast(qdf), "term")
+        .join(F.broadcast(dict_slice), "term")
+        .select(
+            "query_id",
+            "doc_id",
+            "n_terms",
+            "is_phrase",
+            F.struct(*part_fields).alias("part"),
+        )
+    )
+    agg = (
+        matched.groupBy("query_id", "doc_id")
+        .agg(
+            F.count("*").alias("nt"),
+            F.max("n_terms").alias("n_terms"),
+            F.max("is_phrase").alias("is_phrase"),
+            F.sort_array(F.collect_list("part")).alias("parts"),
+        )
+        .filter(F.col("nt") == F.col("n_terms"))
+    )
+    if any_phrase:
+        agg = agg.filter(
+            F.when(F.col("is_phrase"), _phrase_gate()).otherwise(F.lit(True))
+        )
+    scored = agg.join(docstats.select("doc_id", "doclen_lossy"), "doc_id")
+    pre_rows = scored.select(
+        "query_id", "doc_id", _score_fold(stats, params).alias("score")
+    )
+    # TWO-PHASE top-k (the skew fix): a window partitioned on query_id
+    # alone funnels every match of a high-df query through ONE
+    # partition's sort. Phase 1 ranks within (query_id, salt) — a hot
+    # query spreads over n_salts partitions, each emitting at most k
+    # rows — so the phase-2 query_id window sorts <= k*n_salts rows per
+    # query instead of the full match set. Same result: the global
+    # top-k is contained in the union of per-salt top-k, and both
+    # phases share the (score desc, doc_id asc) tie order.
+    n_salts = 16
+    w_local = Window.partitionBy("query_id", "salt").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    pre = (
+        pre_rows.withColumn(
+            "salt", F.pmod(F.col("doc_id"), F.lit(n_salts)).cast("int")
+        )
+        .withColumn("lrank", F.row_number().over(w_local))
+        .filter(F.col("lrank") <= k)
+    )
+    return (
+        pre.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
