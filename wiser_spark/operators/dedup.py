@@ -171,6 +171,46 @@ def ngram_jaccard_dedup(
     return _jaccard_pairs(sh, None).filter(F.col("jaccard") >= threshold)
 
 
+# Band-bucket skew guard (r06, VERDICT item 4): a (band, key) bucket
+# with B members generates B^2/2 candidate pairs BEFORE distinct() can
+# save it — one million-row exact-dup cluster on a crawl corpus makes a
+# single bucket quadratic. The guard excludes buckets over the cap from
+# candidate GENERATION (their members can still pair via their other
+# bands). It is deliberately NOT silent: the excluded buckets are a
+# queryable DataFrame (oversized_band_buckets / oversized_simhash_buckets)
+# for the caller to log or spot-verify, and the documented contract is
+# to run exact_dedup FIRST — identical documents have identical
+# signatures, so collapsing exact dups to one representative removes
+# the dominant source of giant buckets before banding ever sees them.
+# The default cap (10k members -> 50M raw pairs per bucket) is far above
+# anything a near-dup (non-identical) cluster produces, so results on
+# normal corpora are unchanged.
+MAX_BAND_BUCKET = 10_000
+
+
+def _cap_band_buckets(banded: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Keep only banded rows whose (band, key) bucket has <= max_bucket
+    members — a count-aggregate + left-semi join over the slim banded
+    rows (one extra shuffle of (band, key) longs; no payload moves)."""
+    if max_bucket is None:
+        return banded
+    ok = (
+        banded.groupBy("band", "key")
+        .agg(F.count("*").alias("bucket_n"))
+        .filter(F.col("bucket_n") <= max_bucket)
+        .select("band", "key")
+    )
+    return banded.join(ok, ["band", "key"], "left_semi")
+
+
+def _oversized_buckets(banded: DataFrame, max_bucket: int) -> DataFrame:
+    return (
+        banded.groupBy("band", "key")
+        .agg(F.count("*").alias("bucket_n"))
+        .filter(F.col("bucket_n") > max_bucket)
+    )
+
+
 # ------------------------------------------------------------ minhash-lsh
 def minhash_signatures(
     sh: DataFrame, num_hashes: int = 32
@@ -195,18 +235,14 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_dedup(
-    docs: DataFrame,
-    num_hashes: int = 32,
-    bands: int = 8,
-    k: int = 3,
-    threshold: float = 0.5,
-    content_col: str = "content",
+def _minhash_banded(
+    docs: DataFrame, num_hashes: int, bands: int, k: int, content_col: str,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
-    """MinHash+LSH near-dup pairs, exact-Jaccard verified:
-    (doc_a, doc_b, jaccard). rows/band = num_hashes // bands."""
+    """(doc_id, band, key) banded LSH rows — shared by the dedup plan
+    and the oversized-bucket audit."""
     assert num_hashes % bands == 0
-    sh = shingles(docs, k, content_col).cache()
+    sh = sh if sh is not None else shingles(docs, k, content_col)
     sig = minhash_signatures(sh, num_hashes)
     r = num_hashes // bands
     # band key per table: the "i:minhash" strings of the band, sorted
@@ -219,8 +255,28 @@ def minhash_lsh_dedup(
         ])))
         for bnd in range(bands)
     ])
-    banded = sig.select(
-        "doc_id", F.posexplode(band_keys).alias("band", "key")
+    return sig.select("doc_id", F.posexplode(band_keys).alias("band", "key"))
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    threshold: float = 0.5,
+    content_col: str = "content",
+    max_band_bucket: int | None = MAX_BAND_BUCKET,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified:
+    (doc_a, doc_b, jaccard). rows/band = num_hashes // bands.
+
+    ``max_band_bucket`` bounds the per-(band, key) candidate bucket (see
+    MAX_BAND_BUCKET — run exact_dedup first; audit what a cap excluded
+    with ``oversized_band_buckets``); None disables the guard."""
+    sh = shingles(docs, k, content_col).cache()
+    banded = _cap_band_buckets(
+        _minhash_banded(docs, num_hashes, bands, k, content_col, sh=sh),
+        max_band_bucket,
     )
     left = banded.select(F.col("doc_id").alias("doc_a"), "band", "key")
     right = banded.select(F.col("doc_id").alias("doc_b"), "band", "key")
@@ -231,6 +287,23 @@ def minhash_lsh_dedup(
         .distinct()
     )
     return _jaccard_pairs(sh, candidates).filter(F.col("jaccard") >= threshold)
+
+
+def oversized_band_buckets(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    content_col: str = "content",
+    max_band_bucket: int = MAX_BAND_BUCKET,
+) -> DataFrame:
+    """(band, key, bucket_n) for every LSH bucket OVER the cap — the
+    audit surface for minhash_lsh_dedup's skew guard (log it, or feed
+    the member docs to a dedicated exact/verify pass)."""
+    return _oversized_buckets(
+        _minhash_banded(docs, num_hashes, bands, k, content_col),
+        max_band_bucket,
+    )
 
 
 # --------------------------------------------------------------- clusters
@@ -327,11 +400,23 @@ SIMHASH_BANDS = 4
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
 
 
+def _simhash_banded(fp: DataFrame) -> DataFrame:
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    keys = F.array(*[
+        F.shiftright(F.col("simhash"), SIMHASH_BAND_BITS * i).bitwiseAND(F.lit(mask))
+        for i in range(SIMHASH_BANDS)
+    ])
+    return fp.select(
+        "doc_id", "simhash", F.posexplode(keys).alias("band", "key")
+    )
+
+
 def simhash_pairs(
     docs: DataFrame,
     max_distance: int = 3,
     content_col: str = "content",
     fingerprints: DataFrame | None = None,
+    max_band_bucket: int | None = MAX_BAND_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance: (doc_a, doc_b,
     hamming <= max_distance).
@@ -339,17 +424,17 @@ def simhash_pairs(
     Candidates come from 12-bit banded blocking (shuffle key = (band,
     key), O(docs x 4) rows — never an all-pairs join); verification is a
     single JVM popcount per candidate pair. max_distance must stay
-    < SIMHASH_BANDS for the blocking to be exact."""
+    < SIMHASH_BANDS for the blocking to be exact.
+
+    ``max_band_bucket`` bounds the per-(band, key) bucket (see
+    MAX_BAND_BUCKET; a member of an excluded bucket can still pair via
+    its other 3 bands, so the distance-<=3 exactness is kept unless a
+    pair's EVERY matching band is oversized — identical docs, which the
+    documented exact_dedup-first contract removes). Audit exclusions
+    with ``oversized_simhash_buckets``; None disables the guard."""
     assert max_distance < SIMHASH_BANDS, "banding is exact only below n_bands"
     fp = fingerprints if fingerprints is not None else simhash(docs, content_col)
-    mask = (1 << SIMHASH_BAND_BITS) - 1
-    keys = F.array(*[
-        F.shiftright(F.col("simhash"), SIMHASH_BAND_BITS * i).bitwiseAND(F.lit(mask))
-        for i in range(SIMHASH_BANDS)
-    ])
-    banded = fp.select(
-        "doc_id", "simhash", F.posexplode(keys).alias("band", "key")
-    )
+    banded = _cap_band_buckets(_simhash_banded(fp), max_band_bucket)
     left = banded.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"),
         "band", "key",
@@ -369,3 +454,15 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_distance)
     )
+
+
+def oversized_simhash_buckets(
+    docs: DataFrame,
+    content_col: str = "content",
+    fingerprints: DataFrame | None = None,
+    max_band_bucket: int = MAX_BAND_BUCKET,
+) -> DataFrame:
+    """(band, key, bucket_n) for every SimHash band bucket OVER the cap
+    — the audit surface for simhash_pairs' skew guard."""
+    fp = fingerprints if fingerprints is not None else simhash(docs, content_col)
+    return _oversized_buckets(_simhash_banded(fp), max_band_bucket)

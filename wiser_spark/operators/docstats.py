@@ -43,7 +43,15 @@ def build_docstats(docs: DataFrame, content_col: str = "content") -> DataFrame:
 
     ``sha256`` is the per-row content invariant demanded by the input
     hint: every stage that carries content must preserve it.
+
+    r06: when the source has fewer partitions than the session's cores
+    the docs are repartitioned up to defaultParallelism first — the
+    sha256+tokenize pass is CPU-bound and a 2-file corpus otherwise
+    runs it on 2 cores of 32 (guide §2.5). No-op at real scale.
     """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     length = doclen_col(F.col(content_col))
     out = docs.select(
         "doc_id",

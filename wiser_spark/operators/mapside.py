@@ -471,8 +471,19 @@ def write_index_mapside(
     # partial decode with it (segments.partial_decode_terms)
     from wiser_spark.operators.segments import dictionary_from_segments
 
-    dictionary_from_segments(written).write.mode("overwrite").parquet(
-        f"{index_dir}/dictionary"
+    # r06: the post-write bookkeeping jobs (dictionary agg+write,
+    # sentinel stats scan, max-shard probe) are independent scans of
+    # the just-written parquet — submit them from driver threads so
+    # they overlap (guide §2.6), and fold the vocabulary count into
+    # the dictionary write via an Observation instead of a follow-up
+    # count() job.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    dict_df = dictionary_from_segments(written).observe(
+        obs, F.count(F.lit(1)).alias("n_terms")
     )
     # global N and avgdl from the sentinels (no second scan of the docs)
     sent = written.filter(F.col("term") == DOCLEN_TERM)
@@ -486,25 +497,39 @@ def write_index_mapside(
                 sums.append(int(lens.sum()))
             yield pd.DataFrame({"n": ns, "s": sums})
 
-    agg = (
-        sent.mapInPandas(stats_of, "n long, s long")
-        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
-        .collect()[0]
-    )
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_dict = pool.submit(
+            lambda: dict_df.write.mode("overwrite").parquet(
+                f"{index_dir}/dictionary"
+            )
+        )
+        f_sent = pool.submit(
+            lambda: sent.mapInPandas(stats_of, "n long, s long")
+            .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+            .collect()[0]
+        )
+        f_shards = (
+            pool.submit(
+                lambda: int(
+                    written.agg(F.max("shard_id")).collect()[0][0] or 0
+                )
+                + 1
+            )
+            if reuse_partitions
+            else None
+        )
+        f_dict.result()
+        agg = f_sent.result()
+        n_shards_actual = (
+            f_shards.result() if f_shards is not None else config.n_shards
+        )
     n_docs = int(agg["n"] or 0)
     avgdl = float(agg["s"]) / n_docs if n_docs else 1.0
-    n_shards_actual = (
-        int(written.agg(F.max("shard_id")).collect()[0][0] or 0) + 1
-        if reuse_partitions
-        else config.n_shards
-    )
     meta = {
         "n_docs": n_docs, "avgdl": avgdl,
         # vocabulary size in the metadata lets readers size the driver
-        # dictionary cache with zero Spark jobs (parquet-footer count)
-        "n_terms": written.sparkSession.read.parquet(
-            f"{index_dir}/dictionary"
-        ).count(),
+        # dictionary cache with zero Spark jobs
+        "n_terms": int(obs.get["n_terms"]),
         "n_shards": n_shards_actual,
         "k1": config.bm25.k1, "b": config.bm25.b,
         "format": "wiser-spark-segment-v2-mapside",

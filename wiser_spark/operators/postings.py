@@ -161,7 +161,20 @@ def build_postings_arrow(
     spans of each occurrence in the LOWERED content (2*tf ints, aligned
     with ``positions``) — the reference's per-posting offset pairs
     (``posting.h:42-152``).
+
+    r06: the input is projected to (doc_id, content) BEFORE the opaque
+    mapInArrow (guide §4.1 — Spark cannot prune columns through it) and,
+    when the source has fewer partitions than the session's cores (the
+    2-file bench corpus ran 2 tokenize tasks on 32 cores), repartitioned
+    up to defaultParallelism — a one-off shuffle of the raw docs that
+    lets the tokenize stage use the whole machine (guide §2.5 "input
+    skew"). At real scale the input has >> cores partitions and this is
+    a no-op.
     """
+    sel = docs.select("doc_id", content_col)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if sel.rdd.getNumPartitions() < par:
+        sel = sel.repartition(par)
 
     def run(arrow_batches):
         import pyarrow as pa
@@ -258,7 +271,7 @@ def build_postings_arrow(
         schema += ", positions array<int>"
     if with_offsets:
         schema += ", offsets array<int>"
-    return docs.mapInArrow(run, schema)
+    return sel.mapInArrow(run, schema)
 
 
 def build_dictionary(postings: DataFrame) -> DataFrame:

@@ -340,16 +340,36 @@ def write_index(
     # The caller-passed dictionary is not re-written — its (term, df)
     # is identical by construction (pinned by the dictionary tests)
     # and deriving here avoids a second aggregate over the postings.
+    # r06: the dictionary and docstats writes are INDEPENDENT jobs —
+    # submit them from two driver threads so the second back-fills the
+    # first's task tail (guide §2.6), and fold the vocabulary count
+    # into the dictionary write via an Observation instead of a
+    # follow-up count() job.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import Observation
+
     spark = postings.sparkSession
-    dictionary_from_segments(
+    obs = Observation()
+    dict_df = dictionary_from_segments(
         spark.read.schema(SEGMENT_SCHEMA).parquet(f"{index_dir}/segments")
-    ).write.mode("overwrite").parquet(f"{index_dir}/dictionary")
-    docstats.select("doc_id", "doclen", "doclen_char").write.mode(
-        "overwrite"
-    ).parquet(f"{index_dir}/docstats")
+    ).observe(obs, F.count(F.lit(1)).alias("n_terms"))
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_dict = pool.submit(
+            lambda: dict_df.write.mode("overwrite").parquet(
+                f"{index_dir}/dictionary"
+            )
+        )
+        f_stats = pool.submit(
+            lambda: docstats.select("doc_id", "doclen", "doclen_char")
+            .write.mode("overwrite")
+            .parquet(f"{index_dir}/docstats")
+        )
+        f_dict.result()
+        f_stats.result()
     # vocabulary size rides in the metadata so readers can size the
     # driver dictionary cache without a count() job (ADVICE r03)
-    n_terms = spark.read.parquet(f"{index_dir}/dictionary").count()
+    n_terms = int(obs.get["n_terms"])
     meta = {
         "n_docs": stats.n_docs,
         "avgdl": stats.avgdl,
