@@ -392,6 +392,11 @@ def ivf_topk(
     cells = spark.read.parquet(f"{index_dir}/cells")
     q = np.asarray(query_vec, dtype=np.float64)
     qn = float(np.sqrt((q * q).sum()))
+    if qn == 0.0:
+        # an all-zero query has no direction: every cosine is 0/0 and
+        # the centroid ranking would be NaN-arbitrary (r05 ADVICE) —
+        # fail loudly instead of returning an arbitrary ordering
+        raise ValueError("query_vec must be non-zero for cosine ranking")
     ranked = sorted(
         meta["centroids"].items(),
         key=lambda kv: (
@@ -580,6 +585,11 @@ def ivfpq_topk(
         meta = json.load(f)
     q = np.asarray(query_vec, dtype=np.float64)
     qn = float(np.sqrt((q * q).sum()))
+    if qn == 0.0:
+        # an all-zero query has no direction: every cosine is 0/0 and
+        # the centroid ranking would be NaN-arbitrary (r05 ADVICE) —
+        # fail loudly instead of returning an arbitrary ordering
+        raise ValueError("query_vec must be non-zero for cosine ranking")
     ranked = sorted(
         meta["centroids"].items(),
         key=lambda kv: (

@@ -176,11 +176,21 @@ class SearchServer:
                     raw = self._body()
                     if self.path == "/echo":
                         msg = json.loads(raw or b"{}")
+                        if not isinstance(msg, dict):
+                            raise ValueError("echo body must be a JSON object")
                         self._send(200, json.dumps(
                             {"message": msg.get("message", "")}
                         ).encode())
                     elif self.path == "/add_document":
-                        reply = server._add_document(json.loads(raw))
+                        req = json.loads(raw)
+                        if not isinstance(req, dict) or not isinstance(
+                            req.get("document", {}), dict
+                        ):
+                            raise ValueError(
+                                "AddDocumentRequest must be a JSON object "
+                                "with an object `document` field"
+                            )
+                        reply = server._add_document(req)
                         self._send(200, json.dumps(reply).encode())
                     elif self.path == "/flush":
                         reply = server._flush()
@@ -201,10 +211,16 @@ class SearchServer:
                         self._send(200, body, "application/x-ndjson")
                     else:
                         self._send(404, b'{"error": "not found"}')
-                except (ValueError, KeyError, TypeError, AttributeError,
-                        OverflowError) as e:
-                    # request-shape errors (including json.JSONDecodeError,
-                    # a ValueError): the client's fault -> 400
+                except ValueError as e:
+                    # request-shape errors ONLY (json.JSONDecodeError is a
+                    # ValueError; the handler and _request_defaults raise
+                    # ValueError for every malformed-shape case): the
+                    # client's fault -> 400. TypeError/KeyError/
+                    # AttributeError deliberately fall through to 500 —
+                    # they are the signature exceptions of engine-side
+                    # bugs (e.g. a stats.json schema drift), and mapping
+                    # them to 400 would report real server defects as
+                    # malformed requests (r05 ADVICE).
                     self._send(400, json.dumps({"error": str(e)}).encode())
                 except Exception as e:  # engine-side failure -> 500,
                     # but the server stays up (socketserver would
