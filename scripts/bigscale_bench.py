@@ -37,6 +37,44 @@ import tempfile
 import time
 
 
+def _env_info(sf_dir: str) -> dict:
+    """loadavg, cumulative steal%, and a content hash of the source
+    corpus parquet — recorded INSIDE the result json (r06 hygiene)."""
+    import hashlib
+
+    info: dict = {}
+    try:
+        info["loadavg_1m"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        total = sum(vals)
+        info["steal_pct_cumulative"] = round(100.0 * vals[7] / total, 3)
+    except (OSError, IndexError, ValueError):
+        pass
+    try:
+        h = hashlib.sha256()
+        root = os.path.join(sf_dir, "documents.parquet")
+        targets = (
+            sorted(
+                os.path.join(root, p) for p in os.listdir(root)
+                if not p.startswith(("_", "."))
+            )
+            if os.path.isdir(root)
+            else [root]
+        )
+        for p in targets:
+            with open(p, "rb") as f:
+                h.update(f.read())
+        info["corpus_sha256"] = h.hexdigest()
+    except OSError:
+        pass
+    return info
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, required=True)
@@ -110,6 +148,11 @@ def main() -> None:
         "n_docs": n_docs,
         "n_batches": args.batches,
         "n_shards": args.n_shards,
+        # bench hygiene (r06): every bigscale json self-describes its
+        # environment and input so cross-round deltas are attributable
+        # (host load / steal vs code vs data — the r05 regression was
+        # unattributable for lack of exactly this)
+        "env": _env_info(args.sf_dir),
     }
     if args.snippets:
         # standalone serving-flow treatment: one-shot map-side index +

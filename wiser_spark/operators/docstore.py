@@ -185,9 +185,16 @@ def write_doc_store(
         if row is not None:
             yield row
 
-    sel.mapInPandas(pack, STORE_SCHEMA).write.mode("overwrite").parquet(
-        f"{store_dir}/extents"
-    )
+    # point-read row groups (r06, VERDICT item 5): with the default
+    # 128 MB parquet block, ~128 extent rows share one first_doc/
+    # last_doc min/max stat and a k-doc point fetch decodes a whole
+    # block's worth of pages. A 4 MB block puts ~4 extents per row
+    # group, so the range predicate prunes at near-extent granularity.
+    # Write-side cost is a few more (still multi-MB) row groups — the
+    # store remains sequential-scan friendly.
+    sel.mapInPandas(pack, STORE_SCHEMA).write.mode("overwrite").option(
+        "parquet.block.size", str(4 * 1024 * 1024)
+    ).parquet(f"{store_dir}/extents")
     _put_meta()  # rewrite case: flip the codec only over durable extents
 
 

@@ -1177,7 +1177,7 @@ def compact_segments(
         .otherwise(F.col("term")),
     )
 
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+    def merge_base(pdf: pd.DataFrame) -> pd.DataFrame:
         shard_id = int(pdf["shard_id"].iloc[0])
         base = pdf["base"].iloc[0]
         sides: dict[str, list] = {"plain": [], "end": [], "begin": []}
@@ -1257,8 +1257,28 @@ def compact_segments(
             out_rows.append(bloom_row(shard_id, base, mat, prefix=pref))
         return pd.DataFrame(out_rows)
 
-    return segs.groupBy("shard_id", "base").applyInPandas(
-        merge, SEGMENT_SCHEMA
+    def merge_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        # r06 (VERDICT item 6): ONE Arrow group per SHARD, not per
+        # (shard, term) — the former per-term grouping paid the
+        # applyInPandas group overhead (Arrow batch + Python invoke +
+        # pandas construction, ~ms) once per term, millions of times at
+        # 20M docs; per-shard grouping amortizes it to one per shard
+        # while the per-term merge below stays identical (rows come out
+        # in sorted base order, the term-sorted convention every writer
+        # keeps). Shard payload is bounded by shard doc count — the same
+        # bound the build's encode groups already rely on.
+        out = [
+            merge_base(pdf.take(idx))
+            for _, idx in sorted(
+                pdf.groupby("base", sort=True).indices.items()
+            )
+        ]
+        if not out:
+            return pd.DataFrame(columns=cols)
+        return pd.concat(out, ignore_index=True)
+
+    return segs.groupBy("shard_id").applyInPandas(
+        merge_shard, SEGMENT_SCHEMA
     )
 
 

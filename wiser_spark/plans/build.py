@@ -192,6 +192,7 @@ def build_index_mapside_batched(
     order_cols=DEFAULT_ORDER,
     content_col: str = "content",
     compact_to: str | None = None,
+    pipeline: bool = True,
 ) -> Manifest:
     """Resumable BATCH build on the zero-shuffle map-side encoder — the
     north rule's "resumable from checkpoint with per-partition lineage
@@ -213,6 +214,13 @@ def build_index_mapside_batched(
     ``compact_to``: optionally merge the resulting generations into a
     single-generation index at that directory (compact_index) once all
     batches committed.
+
+    ``pipeline``: overlap batch i+1's PREPARE with batch i's encode
+    (default). The prepare holds its range-sorted layout pinned in
+    executor storage during the overlap, which adds memory pressure at
+    LOW core counts — pass False to run prepares inline (r06, the
+    VERDICT-1 attribution toggle; commit order and results are
+    identical either way).
 
     Guard rails: the build parameters (n_batches, order_cols) and the
     source lineage fingerprint are persisted on first run and CHECKED on
@@ -310,7 +318,7 @@ def build_index_mapside_batched(
                 next_prep[nb] = pool.submit(_prepare, nb)
                 return
 
-    if uncommitted:
+    if uncommitted and pipeline:
         next_prep[uncommitted[0]] = pool.submit(_prepare, uncommitted[0])
 
     processed_any = False
@@ -322,8 +330,11 @@ def build_index_mapside_batched(
                 continue  # resumed: slice indexed AND lineage recorded
             if not committed:
                 with StageTimer() as t:
-                    prep = next_prep.pop(b).result()
-                    _schedule(b)  # overlap NEXT prepare with this encode
+                    if pipeline:
+                        prep = next_prep.pop(b).result()
+                        _schedule(b)  # overlap NEXT prepare w/ this encode
+                    else:
+                        prep = _prepare(b)
                     indexer.commit_prepared(
                         spark, b, prep, refresh_meta=False
                     )
