@@ -1177,11 +1177,15 @@ def compact_segments(
         .otherwise(F.col("term")),
     )
 
-    def merge_base(pdf: pd.DataFrame) -> pd.DataFrame:
-        shard_id = int(pdf["shard_id"].iloc[0])
-        base = pdf["base"].iloc[0]
+    def merge_base(shard_id: int, base: str, recs: list) -> list:
+        """Merge one base term's rows (plain dicts) -> output row dicts.
+
+        Plain-dict rows in and out (r06): the per-term pandas machinery
+        (iterrows, a DataFrame per term, a concat per shard) was the
+        dominant compaction cost once grouping went per-shard — row
+        dicts keep the loop pure-python + numpy."""
         sides: dict[str, list] = {"plain": [], "end": [], "begin": []}
-        for _, r in pdf.iterrows():
+        for r in recs:
             t = r["term"]
             kind = (
                 "end" if t.startswith(BLOOM_PREFIX)
@@ -1196,12 +1200,12 @@ def compact_segments(
             parts.sort(key=lambda p: int(p[0][0]) if len(p[0]) else 0)
             ids = np.concatenate([p[0] for p in parts])
             lens = np.concatenate([p[2] for p in parts])
-            return pd.DataFrame([doclen_sentinel_row(shard_id, ids, lens)])
+            return [doclen_sentinel_row(shard_id, ids, lens)]
         # offsets survive the merge only if EVERY generation carries
         # them (a mixed index can't produce a complete merged column)
         plain = sides["plain"]
         if not plain:  # orphan bloom rows (shouldn't happen): drop them
-            return pd.DataFrame(columns=cols)
+            return []
         with_off = all(len(r["off_blob"]) for r in plain)
         parts = [
             (int(r["gen"]),
@@ -1255,27 +1259,32 @@ def compact_segments(
                 ]
             )
             out_rows.append(bloom_row(shard_id, base, mat, prefix=pref))
-        return pd.DataFrame(out_rows)
+        return out_rows
 
     def merge_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         # r06 (VERDICT item 6): ONE Arrow group per SHARD, not per
         # (shard, term) — the former per-term grouping paid the
         # applyInPandas group overhead (Arrow batch + Python invoke +
         # pandas construction, ~ms) once per term, millions of times at
-        # 20M docs; per-shard grouping amortizes it to one per shard
-        # while the per-term merge below stays identical (rows come out
-        # in sorted base order, the term-sorted convention every writer
-        # keeps). Shard payload is bounded by shard doc count — the same
-        # bound the build's encode groups already rely on.
-        out = [
-            merge_base(pdf.take(idx))
-            for _, idx in sorted(
-                pdf.groupby("base", sort=True).indices.items()
-            )
-        ]
+        # 20M docs; per-shard grouping amortizes it to one per shard,
+        # and the per-term merge runs over plain row dicts (ONE
+        # to_dict pass per shard — no per-term take/iterrows/concat).
+        # Rows come out in sorted base order, the term-sorted
+        # convention every writer keeps. Shard payload is bounded by
+        # shard doc count — the same bound the build's encode groups
+        # already rely on.
+        if not len(pdf):
+            return pd.DataFrame(columns=cols)
+        shard_id = int(pdf["shard_id"].iloc[0])
+        groups: dict[str, list] = {}
+        for r in pdf.to_dict("records"):
+            groups.setdefault(r["base"], []).append(r)
+        out: list[dict] = []
+        for base in sorted(groups):
+            out.extend(merge_base(shard_id, base, groups[base]))
         if not out:
             return pd.DataFrame(columns=cols)
-        return pd.concat(out, ignore_index=True)
+        return pd.DataFrame(out, columns=cols)
 
     return segs.groupBy("shard_id").applyInPandas(
         merge_shard, SEGMENT_SCHEMA
