@@ -438,3 +438,25 @@ def test_term_prefix_pushdown_and_identity(spark, tmp_path):
     )
     plan = cold._jdf.queryExecution().executedPlan().toString()
     assert "StartsWith" in plan and "PushedFilters" in plan, plan
+
+
+def test_overcap_lookup_memoized_jobless(spark, index_dir):
+    """Past the driver-cache cap, a term's FIRST lookup pays one
+    distributed filter; every repeat (present OR absent term) is served
+    from the per-process memo with ZERO Spark jobs (r06, VERDICT 7)."""
+    idx = SegmentIndex(spark, index_dir)
+    idx.DICT_DRIVER_CACHE_MAX = 0  # force the over-cap path
+    first = idx._dict_lookup(["return", "zz_never_there_zz"])
+    assert "return" in first and "zz_never_there_zz" not in first
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    again = idx._dict_lookup(["return", "zz_never_there_zz"])
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "memoized lookup ran a Spark job"
+    assert again == first
+    # a NEW term still reaches the filter exactly once, then memoizes
+    idx._dict_lookup(["import"])
+    mid = len(tracker.getJobIdsForGroup(None) or [])
+    assert mid > after
+    idx._dict_lookup(["import", "return"])
+    assert len(tracker.getJobIdsForGroup(None) or []) == mid
