@@ -9,7 +9,10 @@
 # Every result json self-records loadavg/steal%/corpus hash (_env_info),
 # and this script refuses to run when the fixture hash drifted from the
 # BENCH/FIXTURE.md pin (r06 hygiene — VERDICT item 8).
-set -e
+set -e -o pipefail  # pipefail: run_leg pipes through grep/tail — without
+                    # it a crashed spark-submit exits 0 and the missing
+                    # json goes unnoticed (how the first r06 snippets-leg
+                    # OOM went silent)
 cd "$(dirname "$0")/.."
 
 SF01_PIN="d10b0da67e5aceb465e89365781dab5c69d3c62b64a8308398c6fd3fb09bcf82"
@@ -46,7 +49,14 @@ run_leg BENCH/bigscale_32_20m_r06.json --master local[32] \
   scripts/bigscale_bench.py --cpus 32 --mult 4000 --batches 12
 
 echo "=== snippets serving flow local[32] 20M ===" >&2
-run_leg BENCH/snippets_32_20m_r06.json --master local[32] \
-  scripts/bigscale_bench.py --cpus 32 --mult 4000 --snippets
+# 256 shards + 32g driver FOR THIS LEG ONLY: the one-shot build holds a
+# whole partition's encode arrays per worker — at 128 shards that is
+# 156k docs/task ≈ 3.5 GB RSS x 32 workers, which with a 48 g JVM
+# OOM-killed the host (dmesg-confirmed; also the likely cause of r05's
+# 1000 s thrashing run of this leg). 256 shards halve per-task arrays;
+# query cost is unaffected — the shard-clustered cache scans by
+# partition count, not shard count.
+run_leg BENCH/snippets_32_20m_r06.json --master local[32] --driver-memory 32g \
+  scripts/bigscale_bench.py --cpus 32 --mult 4000 --snippets --n-shards 256
 
 echo "ALL ROUND-6 BENCHES DONE" >&2
