@@ -282,9 +282,15 @@ def build_segments(postings: DataFrame, n_shards: int) -> DataFrame:
     with_shard = postings.withColumn(
         "shard_id", (F.col("doc_id") % n_shards).cast("int")
     )
-    return with_shard.groupBy("shard_id").applyInPandas(
-        _encode_shard, SEGMENT_SCHEMA
-    )
+    # explicit shard repartition (r06): the groupBy's own exchange is
+    # AQE-coalesced by SIZE (advisory bytes), but the encode stage is
+    # Python-CPU-bound per byte — at sf1.0 AQE folded 32 shards into 18
+    # tasks and idled a third of the machine. A user-specified
+    # repartition is never coalesced, and the groupBy reuses its
+    # partitioning (no second exchange): exactly n_shards encode tasks.
+    return with_shard.repartition(n_shards, "shard_id").groupBy(
+        "shard_id"
+    ).applyInPandas(_encode_shard, SEGMENT_SCHEMA)
 
 
 def prefetch_pages_col():
