@@ -113,3 +113,80 @@ def test_batch_topk_is_two_phase(spark):
     assert any(
         "WindowGroupLimit" in ln and "salt" in ln for ln in plan.splitlines()
     ), plan
+
+
+def test_batch_dedups_repeated_shapes(spark):
+    """A log repeating the same (terms, is_phrase) shapes under many
+    query_ids must return, per query_id, rows identical to the shapes
+    computed one-per-id — and the deduped plan must aggregate the
+    postings only once per shape (the fan-out is a broadcast join of
+    the <= k rep rows, not a re-computation)."""
+    docs = assign_doc_ids(corpus_df(spark, N), n_partitions=4)
+    postings = build_postings(docs).cache()
+    docstats = build_docstats(docs)
+    dictionary = build_dictionary(postings)
+    stats = corpus_stats(docstats)
+
+    shapes = [
+        (["return"], False),
+        (["return", "import"], False),
+        (["return", "import"], True),
+    ]
+    log = [
+        (rep * 10 + i, terms, ph)
+        for rep in range(3)
+        for i, (terms, ph) in enumerate(shapes)
+    ]
+    got_rows = bm25_topk_batch(
+        postings, docstats, dictionary, stats, log, k=10, params=PARAMS
+    ).collect()
+    got: dict[int, list] = {}
+    for r in sorted(got_rows, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    # every query_id present, each duplicate id's rows EXACTLY equal to
+    # the unique-log answer for its shape
+    uniq_rows = bm25_topk_batch(
+        postings, docstats, dictionary, stats,
+        [(i, terms, ph) for i, (terms, ph) in enumerate(shapes)],
+        k=10, params=PARAMS,
+    ).collect()
+    want: dict[int, list] = {}
+    for r in sorted(uniq_rows, key=lambda r: (r["query_id"], r["rank"])):
+        want.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    assert set(got) == {rep * 10 + i for rep in range(3) for i in range(3)}
+    for rep in range(3):
+        for i in range(3):
+            assert got[rep * 10 + i] == want[i], (rep, i)
+
+
+def test_segment_batch_dedups_repeated_shapes(spark, tmp_path):
+    from wiser_spark.config import IndexConfig
+    from wiser_spark.operators.mapside import write_index_mapside
+    from wiser_spark.operators.segments import SegmentIndex
+
+    docs = assign_doc_ids(corpus_df(spark, N), n_partitions=4).select(
+        "doc_id", "content"
+    )
+    d = str(tmp_path / "idx_dedup")
+    write_index_mapside(docs, d, IndexConfig(bm25=PARAMS, n_shards=4))
+    idx = SegmentIndex(spark, d)
+    shapes = [(["return"], False), (["def", "self"], False)]
+    log = [
+        (rep * 10 + i, terms, ph)
+        for rep in range(3)
+        for i, (terms, ph) in enumerate(shapes)
+    ]
+    got_rows = idx.search_batch(log, k=10).collect()
+    got: dict[int, list] = {}
+    for r in sorted(got_rows, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    uniq_rows = idx.search_batch(
+        [(i, terms, ph) for i, (terms, ph) in enumerate(shapes)], k=10
+    ).collect()
+    want: dict[int, list] = {}
+    for r in sorted(uniq_rows, key=lambda r: (r["query_id"], r["rank"])):
+        want.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    assert set(got) == {rep * 10 + i for rep in range(3) for i in range(2)}
+    for rep in range(3):
+        for i in range(2):
+            assert got[rep * 10 + i] == want[i], (rep, i)

@@ -334,11 +334,6 @@ def write_index(
     dictionary, doc stats, and a stats/metadata JSON."""
     config = config or IndexConfig()
     segs = build_segments(postings, config.n_shards)
-    # already hash-partitioned by shard_id (the groupBy), rows emitted in
-    # term order inside each shard — no extra shuffle before the write
-    segs.write.mode("overwrite").partitionBy("shard_id").parquet(
-        f"{index_dir}/segments"
-    )
     # dictionary (term, df, bytes_docid_tf, prefetch_pages) in ONE scan
     # of the written segment rows (3 pruned columns): df = sum of
     # df_shard (each doc lives in exactly one shard), bytes/pages = the
@@ -357,21 +352,26 @@ def write_index(
 
     spark = postings.sparkSession
     obs = Observation()
-    dict_df = dictionary_from_segments(
-        spark.read.schema(SEGMENT_SCHEMA).parquet(f"{index_dir}/segments")
-    ).observe(obs, F.count(F.lit(1)).alias("n_terms"))
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f_dict = pool.submit(
-            lambda: dict_df.write.mode("overwrite").parquet(
-                f"{index_dir}/dictionary"
-            )
-        )
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        # the docstats write depends on nothing the segment job produces:
+        # submit it FIRST so its (tiny, FIFO-prioritized) job back-fills
+        # the tokenize/encode stages of the segment write instead of
+        # running after them (guide §2.6)
         f_stats = pool.submit(
             lambda: docstats.select("doc_id", "doclen", "doclen_char")
             .write.mode("overwrite")
             .parquet(f"{index_dir}/docstats")
         )
-        f_dict.result()
+        # segments: already hash-partitioned by shard_id (the groupBy),
+        # rows emitted in term order inside each shard — no extra
+        # shuffle before the write
+        segs.write.mode("overwrite").partitionBy("shard_id").parquet(
+            f"{index_dir}/segments"
+        )
+        dict_df = dictionary_from_segments(
+            spark.read.schema(SEGMENT_SCHEMA).parquet(f"{index_dir}/segments")
+        ).observe(obs, F.count(F.lit(1)).alias("n_terms"))
+        dict_df.write.mode("overwrite").parquet(f"{index_dir}/dictionary")
         f_stats.result()
     # vocabulary size rides in the metadata so readers can size the
     # driver dictionary cache without a count() job (ADVICE r03)
@@ -2066,6 +2066,14 @@ class SegmentIndex:
             frozenset(int(q[0]) for q in queries)
             if return_snippets else frozenset()
         )
+        # NOTE r06: a duplicate-shape dedup (answer each (terms,
+        # is_phrase) shape once, fan out via a broadcast map — as
+        # bm25_topk_batch does) was measured HERE and reverted: the
+        # shard kernel already decodes each referenced term once across
+        # the whole log, so dedup only trims the per-query numpy top-k
+        # and the window input, while the extra mapping join costs more
+        # on a first execution than it saves warm (0.88 -> 0.93-1.26 s
+        # first-run at 50k docs; warm 0.71 -> 0.67).
         per_shard = self._per_shard_topk(queries, k, offs_qids=offs_qids)
         if per_shard is None:
             return self.spark.createDataFrame([], out_schema)

@@ -5,40 +5,50 @@ The relational formulation of the reference's read path
 ``:742-763, 810-852``; phrase adjusted-position intersect ``:170-382``;
 BM25 + strict-`>` heap ``scoring.h`` / ``:588-603``):
 
-* term lookup      -> filter postings on the term (predicate pushed to
-                      the scan; with term-bucketed segments this prunes
-                      files), broadcast-join the 1-row dictionary slice
-* k-way conjunction-> inner joins on doc_id between per-term slices —
-                      Catalyst picks sort-merge/broadcast and AQE fixes
-                      skew at runtime; the smallest list drives the probe
+* term lookup      -> ONE ``term IN (...)`` scan of the postings
+                      (predicate pushed to the scan; with term-bucketed
+                      segments this prunes files), broadcast-joined to
+                      the query vocabulary's dictionary slice for df
+* k-way conjunction-> groupBy(doc_id) with per-term ``max(when)`` pivot
+                      columns — a codegen HashAggregate over slim rows
+                      (map-side partials), every pivot column non-null
+                      iff every term matched; an absent term has no
+                      postings rows, so its column is null everywhere
+                      and the filter annihilates the query (AND
+                      semantics, reference ``qq_mem_engine.h:345-347``).
+                      Single-term queries skip the aggregate outright
+                      ((term, doc) is unique)
 * phrase predicate -> chained array_intersect of (positions_i - i),
                       match iff non-empty (score stays plain BM25 — a
                       phrase match only gates inclusion,
-                      ``query_processing.h:886-895``)
+                      ``query_processing.h:886-895``); positions ride
+                      the pivot only for phrase queries
 * BM25             -> pure JVM column math on the LOSSY decoded length
 * top-k            -> orderBy(score desc, doc_id asc).limit(k), compiled
                       to TakeOrderedAndProject (per-partition heaps + a
                       k-row merge — no global sort), with the same tie
                       bias as the reference heap (earliest docIDs kept)
 
-``bm25_topk_batch`` (the QPS path) uses a DIFFERENT shape, rebuilt in
-round 6: ONE ``term IN (...)`` scan of the postings for the ENTIRE log
-feeds ONE (query_id, doc_id) aggregation that replaces the former
-per-shape join chains and their union (optimization guide §2.3
-"aggregate before you shuffle", §2.4 "remove shuffles outright" — the
-r05 21-query batch plan carried 103 Exchange nodes, this one has 14).
-The per-query single/conjunctive join plans are deliberately KEPT for
-``bm25_topk``: measured warm at sf1.0 they beat the aggregation shape
-(0.39/0.51/0.64 s vs 0.61/0.79/0.85 s for 1/2/3 terms) because at one
-query per job the broadcast-join chain is all map-side while the
-aggregation pays a collect_list shuffle — the aggregation only wins
-when its one scan amortizes over many queries.
+History: r05 used an N-way per-term broadcast-join chain here; r06 first
+measured an aggregation rewrite SLOWER (a collect_list shuffle plus a
+dictionary-lookup job per query) and kept the chain, then replaced the
+multi-term chain with this pivot shape — one scan, a native codegen
+HashAggregate instead of collect_list. A driver-side dictionary probe
+variant (df as plan literals) was also measured and REJECTED: the extra
+sequential collect job costs more than the pipelined tiny broadcast
+(single-term 0.42 -> 0.71 s, absent first-run 0.5 -> 1.4 s). Measured
+warm at 50k docs/32 cores for the adopted shape: and2 1.02 -> 0.71,
+and3 1.35 -> 0.77, phrase3 1.38 -> 0.91 s; single-term keeps the r05
+slice+broadcast plan. Results bit-identical (same contribution
+association ((c0+c1)+c2) over the same values).
 
-Any query term absent from the index yields an empty result naturally:
-its slice has no rows and the inner join annihilates the query (AND
-semantics, reference ``qq_mem_engine.h:345-347``); in the batch
-aggregation the matched-term count stays below the query length and
-the count filter annihilates it.
+``bm25_topk_batch`` (the QPS path) answers a WHOLE log in one plan: ONE
+``term IN (...)`` scan feeds ONE (query_id, doc_id) aggregation (guide
+§2.3 "aggregate before you shuffle" — the r05 per-shape join chains
+carried 103 Exchange nodes, this shape has 14), and duplicate query
+shapes in the log are computed ONCE and fanned back out to their
+query_ids by a broadcast join (real logs repeat hot queries; the bench
+log is 7 shapes x 3).
 """
 
 from __future__ import annotations
@@ -76,35 +86,67 @@ def bm25_topk(
     """
     params = params or BM25Params()
     spark = postings.sparkSession
+    out_schema = "rank int, doc_id long, score double"
     if not terms:
-        return spark.createDataFrame([], "rank int, doc_id long, score double")
+        return spark.createDataFrame([], out_schema)
+    n = len(terms)
+    uniq = sorted(set(terms))
 
-    joined = None
-    for i, term in enumerate(terms):
-        cols = [F.col("doc_id"), F.col("tf").alias(f"tf_{i}"), F.col("df").alias(f"df_{i}")]
-        if is_phrase:
-            cols.append(F.col("positions").alias(f"pos_{i}"))
-        slice_i = (
-            postings.filter(F.col("term") == term)
-            .join(F.broadcast(dictionary.filter(F.col("term") == term)), "term")
-            .select(*cols)
+    if n == 1:
+        # single term: (term, doc) is unique, so the filtered slice IS
+        # the per-doc table — no aggregate; df rides the 1-row
+        # dictionary broadcast (measured faster than a driver probe
+        # job: the broadcast pipelines with the scan)
+        joined = (
+            postings.filter(F.col("term") == terms[0])
+            .join(F.broadcast(dictionary.filter(F.col("term") == terms[0])), "term")
+            .select("doc_id", F.col("tf").alias("tf_0"), F.col("df").alias("df_0"))
         )
-        joined = slice_i if joined is None else joined.join(slice_i, "doc_id")
+    else:
+        # one term IN (...) scan + a codegen max(when) pivot aggregate:
+        # every per-term column non-null iff every term matched the doc
+        # (absent terms have no postings rows, so their column stays
+        # null everywhere and the filter annihilates the query)
+        dict_slice = dictionary.filter(F.col("term").isin(uniq)).select(
+            "term", "df"
+        )
+        matched = postings.filter(F.col("term").isin(uniq)).join(
+            F.broadcast(dict_slice), "term"
+        )
+        aggs = []
+        for i, term in enumerate(terms):
+            aggs.append(
+                F.max(F.when(F.col("term") == term, F.col("tf"))).alias(f"tf_{i}")
+            )
+            aggs.append(
+                F.max(F.when(F.col("term") == term, F.col("df"))).alias(f"df_{i}")
+            )
+            if is_phrase:
+                aggs.append(
+                    F.max(
+                        F.when(F.col("term") == term, F.col("positions"))
+                    ).alias(f"pos_{i}")
+                )
+        joined = matched.groupBy("doc_id").agg(*aggs)
+        present = F.col("tf_0").isNotNull()
+        for i in range(1, n):
+            present = present & F.col(f"tf_{i}").isNotNull()
+        joined = joined.filter(present)
 
-    if is_phrase and len(terms) > 1:
-        def _shift_by(col_name: str, amount: int):
-            # NB: F.transform treats a 2-arg lambda as (element, index) —
-            # capture `amount` in a closure, keep the lambda unary.
-            return F.transform(F.col(col_name), lambda x: x - F.lit(amount))
+        if is_phrase:
+            def _shift_by(col_name: str, amount: int):
+                # NB: F.transform treats a 2-arg lambda as (element,
+                # index) — capture `amount` in a closure, keep it unary.
+                return F.transform(F.col(col_name), lambda x: x - F.lit(amount))
 
-        inter = F.col("pos_0")
-        for i in range(1, len(terms)):
-            inter = F.array_intersect(inter, _shift_by(f"pos_{i}", i))
-        joined = joined.filter(F.size(inter) > 0)
+            inter = F.col("pos_0")
+            for i in range(1, n):
+                inter = F.array_intersect(inter, _shift_by(f"pos_{i}", i))
+            joined = joined.filter(F.size(inter) > 0)
 
     scored = joined.join(docstats.select("doc_id", "doclen_lossy"), "doc_id")
     score = None
-    for i in range(len(terms)):
+    for i in range(n):
         contrib = _idf_col(stats.n_docs, F.col(f"df_{i}")) * _tfnorm_col(
             F.col(f"tf_{i}"), F.col("doclen_lossy"), stats.avgdl, params
         )
@@ -187,6 +229,32 @@ def bm25_topk_batch(
     ]
     if not live:
         return spark.createDataFrame([], out_schema)
+
+    # Duplicate SHAPES in the log ((terms, is_phrase) equal) are pure
+    # repeats of the same deterministic computation: answer each shape
+    # once under its first query_id and fan the <= k result rows back
+    # out to the other ids with a broadcast of the (query_id, rep_id)
+    # map. Real logs repeat hot queries; matched-row volume, the
+    # aggregation and both top-k windows all shrink by the repeat
+    # factor. No-op (and zero extra plan nodes) when all shapes are
+    # distinct.
+    rep_of_shape: dict[tuple, int] = {}
+    mapping: list[tuple[int, int]] = []
+    for qid, terms, ph in live:
+        shape = (tuple(terms), ph)
+        rep_of_shape.setdefault(shape, qid)
+        mapping.append((qid, rep_of_shape[shape]))
+    if len(rep_of_shape) < len(live):
+        reps = {rid for _, rid in mapping}
+        base = bm25_topk_batch(
+            postings, docstats, dictionary, stats,
+            [q for q in live if q[0] in reps], k=k, params=params,
+        ).withColumnRenamed("query_id", "rep_id")
+        mdf = spark.createDataFrame(mapping, "query_id int, rep_id int")
+        return base.join(F.broadcast(mdf), "rep_id").select(
+            "query_id", "rank", "doc_id", "score"
+        )
+
     all_terms = sorted({t for _, terms, _ in live for t in terms})
     any_phrase = any(ph for _, _, ph in live)
     qrows = [
