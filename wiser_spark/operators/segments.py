@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 
 import numpy as np
 import pandas as pd
@@ -1514,24 +1515,51 @@ class SegmentIndex:
         # item 7). Bounded by the distinct terms this process queries.
         self._dict_memo: dict[str, tuple[int, int | None] | None] = {}
         self._doclens: DataFrame | None = None
+        self._doclens_lock = threading.Lock()
+        # v1 engine-load prefetch (r06 second pass): the shard-keyed
+        # doc-length cache is load-time state, like the dictionary the
+        # reference mmaps at engine start (vacuum_engine.h:119-142) —
+        # fill it from a background thread at construction so the cost
+        # overlaps index load instead of landing inside the FIRST
+        # query's latency (measured: the first v1 segment query paid
+        # ~0.6-0.7 s of the fill at 50k docs while the others ran
+        # ~0.5 s). Failures are swallowed: a racing teardown (tmp index
+        # deleted, session stopped) just means the first query builds
+        # the cache itself, as before.
+        self._doclens_prefetch_thread: threading.Thread | None = None
+        if not self.has_sentinel and self.docstats is not None:
+            t = threading.Thread(
+                target=self._prefetch_doclens, daemon=True,
+                name="wiser-doclens-prefetch",
+            )
+            self._doclens_prefetch_thread = t
+            t.start()
+
+    def _prefetch_doclens(self) -> None:
+        try:
+            self._doclens_by_shard().count()
+        except Exception:
+            pass
 
     def _doclens_by_shard(self) -> DataFrame:
         """v1 (separate-docstats) indexes: the per-shard doc-length side
         of the query cogroup, shard-keyed and CACHED in the same
         hash(shard_id) layout as the segments cache — so the per-query
         cogroup needs no Exchange on either side (r05 re-shuffled the
-        whole docstats table on every query)."""
-        if self._doclens is None:
-            n_shards = self.meta["n_shards"]
-            self._doclens = (
-                self.docstats.withColumn(
-                    "shard_id", (F.col("doc_id") % n_shards).cast("int")
+        whole docstats table on every query). Thread-safe: the
+        load-time prefetch thread and a first query may race here."""
+        with self._doclens_lock:
+            if self._doclens is None:
+                n_shards = self.meta["n_shards"]
+                self._doclens = (
+                    self.docstats.withColumn(
+                        "shard_id", (F.col("doc_id") % n_shards).cast("int")
+                    )
+                    .select("shard_id", "doc_id", "doclen_char")
+                    .repartition(self._scan_parts, "shard_id")
+                    .cache()
                 )
-                .select("shard_id", "doc_id", "doclen_char")
-                .repartition(self._scan_parts, "shard_id")
-                .cache()
-            )
-        return self._doclens
+            return self._doclens
 
     # the reference mmaps the WHOLE .tip into the serving process once
     # (vacuum_engine.h:119-142). The analogue: when the vocabulary is
